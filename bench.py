@@ -1,0 +1,139 @@
+"""Benchmark driver: training throughput in audio-seconds/s per chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline metric (BASELINE.md): audio-seconds of speech processed per
+wall-clock second per chip while *training* (fwd + CTC + bwd + SGD update),
+on the BASELINE config-2/3 model family.  ``vs_baseline`` is the speedup
+over the in-repo CPU reference implementation
+(:mod:`tpu_ctc.bench.reference_numpy`), which faithfully reproduces the
+reference's per-utterance Python-loop + numpy-CTC training path
+(SURVEY.md §3.1) — the target is >= 10x.
+
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+FRAMES_PER_SECOND = 100.0  # 10 ms hop
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu_train(hidden=1024, num_bi=3, batch=32, t_frames=400,
+                    vocab=29, input_dim=120, steps=20, warmup=3):
+    import jax
+
+    from tpu_ctc.config import (Config, DataConfig, MeshConfig, ModelConfig,
+                                OptimConfig, TrainConfig)
+    from tpu_ctc.data.bucketing import make_batch
+    from tpu_ctc.parallel.mesh import make_mesh
+    from tpu_ctc.train.loop import batch_to_device_dict
+    from tpu_ctc.train.step import create_train_state, make_train_step
+
+    cfg = Config(
+        model=ModelConfig(input_dim=input_dim, hidden_dim=hidden,
+                          num_pre_layers=1, num_bi_layers=num_bi,
+                          vocab_size=vocab),
+        optim=OptimConfig(learning_rate=1e-3),
+        data=DataConfig(batch_size=batch, max_frames=t_frames,
+                        bucket_boundaries=(t_frames,)),
+        mesh=MeshConfig(data=1, model=1, seq=1),
+        train=TrainConfig(metrics_path=""),
+        ctc_impl="jnp",
+    )
+    rng = np.random.RandomState(0)
+    utts = [(rng.randn(t_frames, input_dim).astype(np.float32),
+             rng.randint(1, vocab, 40).astype(np.int32))
+            for _ in range(batch)]
+    b = make_batch(utts, t_pad=t_frames, l_pad=48, batch_size=batch)
+    bd = batch_to_device_dict(b)
+
+    mesh = make_mesh(cfg.mesh, devices=jax.devices()[:1])
+    state = create_train_state(cfg)
+    step_fn, state = make_train_step(cfg, mesh, state)
+
+    with mesh:
+        t0 = time.time()
+        for _ in range(warmup):
+            state, m = step_fn(state, bd)
+        jax.block_until_ready(state.params)
+        log(f"[bench] warmup+compile {time.time()-t0:.1f}s, "
+            f"loss={float(m['loss']):.3f}")
+        t0 = time.time()
+        for _ in range(steps):
+            state, m = step_fn(state, bd)
+        jax.block_until_ready(state.params)
+        dt = time.time() - t0
+
+    audio_s = batch * t_frames / FRAMES_PER_SECOND * steps
+    thr = audio_s / dt
+    log(f"[bench] tpu train: {steps} steps in {dt:.2f}s -> "
+        f"{thr:.1f} audio-s/s/chip (step {dt/steps*1e3:.1f} ms)")
+    dev = jax.devices()[0]
+    log(f"[bench] device: {dev.platform} {dev.device_kind}")
+    return thr
+
+
+def bench_cpu_reference(hidden=1024, num_bi=3, t_frames=400, vocab=29,
+                        input_dim=120, utts=3, budget_s=120.0):
+    """The reference's CPU path: per-utterance, Python time loop, numpy CTC."""
+    from tpu_ctc.bench.reference_numpy import ReferenceBRNN
+
+    model = ReferenceBRNN(input_dim=input_dim, hidden_dim=hidden,
+                          vocab_size=vocab, num_pre=1, num_bi=num_bi)
+    rng = np.random.RandomState(0)
+    velocity = None
+    done, t_total = 0, 0.0
+    for i in range(utts):
+        feats = rng.randn(t_frames, input_dim)
+        labels = rng.randint(1, vocab, 40)
+        t0 = time.time()
+        nll, grads = model.cost_and_grad(feats, labels)
+        velocity = model.sgd_step(grads, velocity=velocity)
+        t_total += time.time() - t0
+        done += 1
+        if t_total > budget_s:
+            break
+    thr = done * (t_frames / FRAMES_PER_SECOND) / t_total
+    log(f"[bench] cpu reference: {done} utts in {t_total:.2f}s -> "
+        f"{thr:.2f} audio-s/s")
+    return thr
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--hidden", type=int, default=1024)
+    p.add_argument("--layers", type=int, default=3)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--frames", type=int, default=400)
+    p.add_argument("--skip-cpu-baseline", action="store_true")
+    args = p.parse_args()
+
+    kw = dict(hidden=args.hidden, num_bi=args.layers, t_frames=args.frames)
+    tpu_thr = bench_tpu_train(batch=args.batch, steps=args.steps, **kw)
+    if args.skip_cpu_baseline:
+        cpu_thr = None
+    else:
+        cpu_thr = bench_cpu_reference(**kw)
+
+    print(json.dumps({
+        "metric": "train_throughput",
+        "value": round(tpu_thr, 2),
+        "unit": "audio_seconds_per_second_per_chip",
+        "vs_baseline": round(tpu_thr / cpu_thr, 2) if cpu_thr else None,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Edit distance, CER and WER scoring.
+
+Reference: ``editDistance.py``-style Levenshtein alignment for CER, plus
+eval2000 WER via external sclite shell pipelines (SURVEY.md C11/C13).  Here
+both live in-repo: a vectorized numpy Levenshtein for host-side scoring
+(fast enough for eval sets; no external scoring toolchain) and a batched
+jnp DP for on-device CER inside jit (training-time metric without leaving
+the device).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def edit_distance(ref: Sequence, hyp: Sequence) -> int:
+    """Levenshtein distance (host-side, anti-diagonal-free simple DP)."""
+    n, m = len(ref), len(hyp)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    hyp_arr = np.asarray(list(hyp))
+    prev = np.arange(m + 1)
+    for i in range(1, n + 1):
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = i
+        sub = prev[:-1] + (hyp_arr != ref[i - 1])
+        # cur[j] = min(prev[j]+1, cur[j-1]+1, sub[j-1]) — resolve the
+        # left-to-right dependency with a running scan.
+        np.minimum(prev[1:] + 1, sub, out=cur[1:])
+        for j in range(1, m + 1):       # cheap: m is utterance-length scale
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    return int(prev[m])
+
+
+def cer(refs: List[Sequence], hyps: List[Sequence]) -> float:
+    """Character error rate over id sequences or strings."""
+    errs = sum(edit_distance(list(r), list(h)) for r, h in zip(refs, hyps))
+    total = sum(max(len(r), 1) for r in refs)
+    return errs / max(total, 1)
+
+
+def wer(refs: List[str], hyps: List[str]) -> float:
+    """Word error rate over transcript strings."""
+    r_words = [r.split() for r in refs]
+    h_words = [h.split() for h in hyps]
+    errs = sum(edit_distance(r, h) for r, h in zip(r_words, h_words))
+    total = sum(max(len(r), 1) for r in r_words)
+    return errs / max(total, 1)
+
+
+def batched_edit_distance(refs: jnp.ndarray, ref_lens: jnp.ndarray,
+                          hyps: jnp.ndarray, hyp_lens: jnp.ndarray) -> jnp.ndarray:
+    """On-device batched Levenshtein over padded id sequences.
+
+    refs [B, N], hyps [B, M]: zero-padded; lengths give valid extents.
+    Returns int32 distances [B].  DP rows run under ``lax.scan`` over the
+    ref axis; the within-row prefix-min dependency is resolved with an
+    associative scan of the standard (min,+) trick:
+      cur[j] = min(indep[j], min_{k<j}(indep[k] + (j-k)))
+             = (cummin over j of (indep[j] - j)) + j.
+    """
+    b, n = refs.shape
+    m = hyps.shape[1]
+    j_idx = jnp.arange(m + 1)
+
+    init = jnp.broadcast_to(j_idx, (b, m + 1)).astype(jnp.int32)
+    # Clamp to hyp length: positions beyond are masked at the end anyway.
+
+    def row(prev, i):
+        ref_c = refs[:, i][:, None]                       # [B, 1]
+        sub_cost = (hyps != ref_c).astype(jnp.int32)      # [B, M]
+        indep = jnp.minimum(
+            prev[:, 1:] + 1,                              # deletion from hyp
+            prev[:, :-1] + sub_cost)                      # substitution/match
+        indep = jnp.concatenate(
+            [jnp.full((b, 1), i + 1, dtype=jnp.int32), indep], axis=1)
+        # Prefix-min resolution of cur[j] = min(indep[j], cur[j-1] + 1).
+        shifted = jax.lax.associative_scan(
+            jnp.minimum, indep - j_idx[None, :], axis=1)
+        cur = shifted + j_idx[None, :]
+        # Rows past the ref length keep the previous row.
+        active = (i < ref_lens)[:, None]
+        return jnp.where(active, cur, prev), None
+
+    final, _ = jax.lax.scan(row, init, jnp.arange(n))
+    return jnp.take_along_axis(final, hyp_lens[:, None], axis=1)[:, 0]
+
+
+@jax.jit
+def batched_cer(refs, ref_lens, hyps, hyp_lens):
+    """Mean CER over a batch of padded id sequences (on-device)."""
+    d = batched_edit_distance(refs, ref_lens, hyps, hyp_lens)
+    return jnp.sum(d) / jnp.maximum(jnp.sum(ref_lens), 1)

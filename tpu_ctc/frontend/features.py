@@ -1,0 +1,162 @@
+"""STFT → log-mel filterbank frontend, fully in-framework.
+
+Replaces the reference's external Kaldi ``compute-fbank`` pipelines
+(SURVEY.md C12/C13, §3.4) with jit-compatible jnp ops: framing, Hann window,
+rFFT power spectrum, mel filterbank matmul (MXU-friendly), log compression,
+per-utterance CMVN, and the reference dataLoader's +/-k context-frame
+stacking (SURVEY.md C7).
+
+All functions are pure, static-shape, and batchable; they run on TPU under
+jit and on CPU for the numpy-feature path of BASELINE config 1.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_ctc.config import FrontendConfig
+
+
+def hann_window(length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann window (matches common STFT conventions)."""
+    n = jnp.arange(length, dtype=dtype)
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / length)
+
+
+def num_frames(num_samples: int, cfg: FrontendConfig) -> int:
+    if num_samples < cfg.frame_length:
+        return 0
+    return 1 + (num_samples - cfg.frame_length) // cfg.hop_length
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
+    """Slice ``x [..., N]`` into overlapping frames ``[..., T, frame_length]``."""
+    n = x.shape[-1]
+    t = 1 + (n - frame_length) // hop_length
+    idx = (jnp.arange(t)[:, None] * hop_length + jnp.arange(frame_length)[None, :])
+    return x[..., idx]
+
+
+def stft_power(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """Power spectrogram ``[..., T, n_fft//2 + 1]`` of ``x [..., N]``."""
+    frames = frame_signal(x, cfg.frame_length, cfg.hop_length)
+    frames = frames * hann_window(cfg.frame_length, frames.dtype)
+    spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+    return jnp.square(spec.real) + jnp.square(spec.imag)
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank(sample_rate: int, n_fft: int, n_mels: int,
+                   fmin: float, fmax: Optional[float]) -> np.ndarray:
+    """Triangular mel filterbank matrix ``[n_fft//2+1, n_mels]`` (HTK mel scale).
+
+    Built host-side in float64 numpy (it is a compile-time constant), then
+    used as an MXU matmul against the power spectrogram.
+    """
+    if fmax is None:
+        fmax = sample_rate / 2.0
+    n_bins = n_fft // 2 + 1
+    mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+    bin_freqs = np.arange(n_bins) * (sample_rate / n_fft)
+    fb = np.zeros((n_bins, n_mels), dtype=np.float64)
+    for m in range(n_mels):
+        lo, ctr, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (bin_freqs - lo) / max(ctr - lo, 1e-9)
+        down = (hi - bin_freqs) / max(hi - ctr, 1e-9)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+    return fb.astype(np.float32)
+
+
+def log_mel(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """Waveform ``[..., N]`` → log-mel features ``[..., T, n_mels]``."""
+    power = stft_power(x, cfg)
+    fb = jnp.asarray(mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels,
+                                    cfg.fmin, cfg.fmax))
+    mel = jnp.einsum("...tf,fm->...tm", power, fb)
+    return jnp.log(jnp.maximum(mel, cfg.log_floor))
+
+
+def cmvn(feats: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+         eps: float = 1e-8) -> jnp.ndarray:
+    """Per-utterance cepstral mean/variance normalization over valid frames.
+
+    ``feats [..., T, D]``; ``mask [..., T]`` marks valid frames (1.0) vs
+    padding (0.0).  Padded frames are zeroed on output.
+    """
+    if mask is None:
+        mean = jnp.mean(feats, axis=-2, keepdims=True)
+        var = jnp.mean(jnp.square(feats - mean), axis=-2, keepdims=True)
+        return (feats - mean) * jax.lax.rsqrt(var + eps)
+    m = mask[..., :, None].astype(feats.dtype)
+    denom = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+    mean = jnp.sum(feats * m, axis=-2, keepdims=True) / denom
+    var = jnp.sum(jnp.square(feats - mean) * m, axis=-2, keepdims=True) / denom
+    return (feats - mean) * jax.lax.rsqrt(var + eps) * m
+
+
+def stack_context(feats: jnp.ndarray, context: int) -> jnp.ndarray:
+    """Concatenate +/-context frames: ``[..., T, D] → [..., T, D*(2k+1)]``.
+
+    Edge frames are edge-padded, mirroring the reference dataLoader's
+    context stacking (SURVEY.md C7).
+    """
+    if context == 0:
+        return feats
+    shifts = []
+    for k in range(-context, context + 1):
+        if k < 0:
+            pad = jnp.repeat(feats[..., :1, :], -k, axis=-2)
+            shifted = jnp.concatenate([pad, feats[..., :k, :]], axis=-2)
+        elif k > 0:
+            pad = jnp.repeat(feats[..., -1:, :], k, axis=-2)
+            shifted = jnp.concatenate([feats[..., k:, :], pad], axis=-2)
+        else:
+            shifted = feats
+        shifts.append(shifted)
+    return jnp.concatenate(shifts, axis=-1)
+
+
+def extract_features(x: jnp.ndarray, cfg: FrontendConfig,
+                     sample_lengths: Optional[jnp.ndarray] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full frontend: waveform batch ``[B, N]`` → ``(feats [B, T, F], frame_mask [B, T])``.
+
+    ``sample_lengths [B]`` gives valid samples per utterance; frames whose
+    window extends past the valid length are masked out.
+    """
+    feats = log_mel(x, cfg)
+    t = feats.shape[-2]
+    if sample_lengths is None:
+        mask = jnp.ones(feats.shape[:-1], dtype=jnp.float32)
+    else:
+        n_valid = jnp.where(
+            sample_lengths >= cfg.frame_length,
+            1 + (sample_lengths - cfg.frame_length) // cfg.hop_length, 0)
+        mask = (jnp.arange(t)[None, :] < n_valid[..., None]).astype(jnp.float32)
+        feats = feats * mask[..., None]
+    if cfg.cmvn:
+        feats = cmvn(feats, mask)
+    feats = stack_context(feats, cfg.context)
+    feats = feats * mask[..., None]
+    return feats, mask
+
+
+def frame_lengths_from_samples(sample_lengths: np.ndarray,
+                               cfg: FrontendConfig) -> np.ndarray:
+    """Host-side helper: valid frame count per utterance."""
+    sl = np.asarray(sample_lengths)
+    return np.where(sl >= cfg.frame_length,
+                    1 + (sl - cfg.frame_length) // cfg.hop_length, 0)

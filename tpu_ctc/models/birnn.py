@@ -1,0 +1,194 @@
+"""Deep bidirectional RNN acoustic model — TPU-native design.
+
+Reference model family (SURVEY.md C4, ``ctc_fast/brnnet.py`` / ``rnn/*.py``):
+a stack of affine + clipped-ReLU feed-forward layers with bidirectional
+recurrent layers in the middle, hand-written backprop, Python loop over time
+on gnumpy/cudamat.  Architecture faithful to Hannun et al. 2014: the
+recurrent layer computes a shared input projection z_t = W x_t + b, then
+forward and backward hidden sequences
+    f_t = act(z_t + Wf f_{t-1}),   b_t = act(z_t + Wb b_{t+1}),
+whose sum f_t + b_t is the layer output; act is the clipped ReLU
+min(max(x, 0), clip).
+
+TPU-native re-design (not a port):
+  * Parameters are a plain pytree (nested dicts of jnp arrays); forward is a
+    pure function — autodiff replaces the reference's hand-written backprop.
+  * The input projection of every layer is one large batched matmul over
+    [B*T, D] — MXU-shaped work, computed outside the recurrence.
+  * Only the intrinsically sequential part (h_t from h_{t-1}) runs under
+    ``lax.scan``; both directions share one scan via time-reversal.
+  * Matmul inputs are cast to ``compute_dtype`` (bfloat16 by default) with
+    float32 accumulation (``preferred_element_type``).
+  * Optional ``jax.checkpoint`` (remat) per recurrent layer trades FLOPs for
+    HBM, bounding activation memory on long utterances.
+  * Tensor-parallel sharding: hidden dimension over the 'model' mesh axis
+    (see :func:`param_partition_specs`); XLA inserts the collectives.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tpu_ctc.config import ModelConfig
+from tpu_ctc.parallel.mesh import AXIS_MODEL
+
+Params = Dict[str, Any]
+
+
+def clipped_relu(x: jnp.ndarray, clip: float) -> jnp.ndarray:
+    """Reference-faithful activation: min(max(x, 0), clip) (SURVEY.md §7.1-4)."""
+    return jnp.clip(x, 0.0, clip)
+
+
+def _dense_init(key, fan_in: int, fan_out: int, scale: float, dtype):
+    """Scaled-gaussian init of the reference era; bias zeros."""
+    w = scale * jax.random.normal(key, (fan_in, fan_out), dtype=jnp.float32)
+    return {"w": w.astype(dtype), "b": jnp.zeros((fan_out,), dtype=dtype)}
+
+
+def _recur_init(key, hidden: int, scale: float, dtype):
+    kf, kb = jax.random.split(key)
+    return {
+        "wf": (scale * jax.random.normal(kf, (hidden, hidden))).astype(dtype),
+        "wb": (scale * jax.random.normal(kb, (hidden, hidden))).astype(dtype),
+    }
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    """Initialize the full parameter pytree."""
+    dtype = jnp.dtype(cfg.param_dtype)
+    n_dense = cfg.num_pre_layers + cfg.num_bi_layers + cfg.num_post_layers
+    keys = jax.random.split(key, n_dense + cfg.num_bi_layers + 1)
+    ki = iter(range(len(keys)))
+
+    params: Params = {"pre": [], "bi": [], "post": []}
+    d = cfg.input_dim
+    for _ in range(cfg.num_pre_layers):
+        params["pre"].append(_dense_init(keys[next(ki)], d, cfg.hidden_dim,
+                                         cfg.init_scale, dtype))
+        d = cfg.hidden_dim
+    for _ in range(cfg.num_bi_layers):
+        layer = _dense_init(keys[next(ki)], d, cfg.hidden_dim,
+                            cfg.init_scale, dtype)
+        layer.update(_recur_init(keys[next(ki)], cfg.hidden_dim,
+                                 cfg.init_scale, dtype))
+        params["bi"].append(layer)
+        d = cfg.hidden_dim
+    for _ in range(cfg.num_post_layers):
+        params["post"].append(_dense_init(keys[next(ki)], d, cfg.hidden_dim,
+                                          cfg.init_scale, dtype))
+        d = cfg.hidden_dim
+    params["out"] = _dense_init(keys[next(ki)], d, cfg.vocab_size,
+                                cfg.init_scale, dtype)
+    return params
+
+
+def _dot(x: jnp.ndarray, w: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    """Matmul with compute-dtype inputs and float32 accumulation (MXU)."""
+    return jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def _dense(x, layer, cfg: ModelConfig, activate: bool = True) -> jnp.ndarray:
+    cdt = jnp.dtype(cfg.compute_dtype)
+    y = _dot(x, layer["w"], cdt) + layer["b"].astype(jnp.float32)
+    return clipped_relu(y, cfg.relu_clip) if activate else y
+
+
+def _recurrence(z: jnp.ndarray, w: jnp.ndarray, mask: jnp.ndarray,
+                reverse: bool, *, cfg: ModelConfig) -> jnp.ndarray:
+    """Run h_t = act(z_t + W h_{t-1}) along time via ``lax.scan``.
+
+    z: [B, T, H] precomputed input projection (float32).
+    mask: [B, T] — at padded frames the state is held at zero, so the
+    backward direction effectively starts at each utterance's true last
+    frame (padding is trailing).
+    """
+    cdt = jnp.dtype(cfg.compute_dtype)
+    b, t, h = z.shape
+    z_t = jnp.moveaxis(z, 1, 0)                 # [T, B, H]
+    m_t = jnp.moveaxis(mask, 1, 0)[..., None]   # [T, B, 1]
+
+    def step(h_prev, inputs):
+        z_i, m_i = inputs
+        h_new = clipped_relu(z_i + _dot(h_prev, w, cdt), cfg.relu_clip)
+        h_new = h_new * m_i
+        return h_new, h_new
+
+    init = jnp.zeros((b, h), dtype=jnp.float32)
+    _, hs = jax.lax.scan(step, init, (z_t, m_t), reverse=reverse)
+    return jnp.moveaxis(hs, 0, 1)               # [B, T, H]
+
+
+def _bi_layer(x, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
+    z = _dense(x, layer, cfg, activate=False)   # shared input projection
+    rec = functools.partial(_recurrence, cfg=cfg)
+    if cfg.remat:
+        rec = jax.checkpoint(rec, static_argnums=(3,))
+    fwd = rec(z, layer["wf"], mask, False)
+    bwd = rec(z, layer["wb"], mask, True)
+    return fwd + bwd
+
+
+def forward(params: Params, cfg: ModelConfig, feats: jnp.ndarray,
+            frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Acoustic model forward pass: [B, T, input_dim] → logits [B, T, vocab].
+
+    Replaces the reference's ``costAndGrad`` forward (SURVEY.md §3.1) —
+    but batched, static-shape, and fully on-device under jit.
+    """
+    if frame_mask is None:
+        frame_mask = jnp.ones(feats.shape[:2], dtype=jnp.float32)
+    x = feats.astype(jnp.float32)
+    for layer in params["pre"]:
+        x = _dense(x, layer, cfg)
+    for layer in params["bi"]:
+        x = _bi_layer(x, layer, frame_mask, cfg)
+    for layer in params["post"]:
+        x = _dense(x, layer, cfg)
+    logits = _dense(x, params["out"], cfg, activate=False)
+    return logits
+
+
+def log_posteriors(params: Params, cfg: ModelConfig, feats, frame_mask=None):
+    """Posterior-only forward for decoding (reference's decode-time entry)."""
+    return jax.nn.log_softmax(forward(params, cfg, feats, frame_mask), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel partitioning (SURVEY.md §2.2 P2, BASELINE config 5).
+# ---------------------------------------------------------------------------
+
+def param_partition_specs(cfg: ModelConfig) -> Params:
+    """PartitionSpec pytree matching :func:`init_params`'s structure.
+
+    Strategy per SURVEY.md §7.3-3: shard the *input projections* (batched
+    over T, collective-free) on the hidden/output dim over 'model'; the
+    square recurrent matrices are sharded on their input dim so the per-step
+    matmul reduces over the sharded axis with one psum, keeping the hidden
+    state replicated across the 'model' axis.
+    """
+    def dense_spec(shard_out: bool):
+        return {"w": P(None, AXIS_MODEL) if shard_out else P(AXIS_MODEL, None),
+                "b": P(AXIS_MODEL) if shard_out else P(None)}
+
+    specs: Params = {
+        "pre": [dense_spec(True) for _ in range(cfg.num_pre_layers)],
+        "bi": [],
+        "post": [dense_spec(True) for _ in range(cfg.num_post_layers)],
+        "out": {"w": P(AXIS_MODEL, None), "b": P(None)},
+    }
+    for _ in range(cfg.num_bi_layers):
+        specs["bi"].append({
+            "w": P(None, AXIS_MODEL), "b": P(AXIS_MODEL),
+            "wf": P(AXIS_MODEL, None), "wb": P(AXIS_MODEL, None),
+        })
+    return specs
+
+
+def count_params(params: Params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))

@@ -1,0 +1,148 @@
+"""Training loop: epochs over bucketed batches, metrics, checkpoints, eval.
+
+Reference equivalent: the epoch loop of ``sgd.py`` + ``runNNet.py``
+(SURVEY.md C5/C14) — per-epoch shuffling, periodic cost prints, pickled
+weight snapshots.  TPU-native changes: one jit-compiled step per bucket
+shape (compiled once, cached), structured JSONL metrics (SURVEY.md §5
+"Metrics/logging"), Orbax checkpointing of the FULL train state including
+optimizer state, step and data cursor (the reference lost all of that on a
+crash — SURVEY.md §5 "Failure detection"), and on-device greedy CER eval.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from tpu_ctc.config import Config
+from tpu_ctc.data.bucketing import Batch, BucketedLoader
+from tpu_ctc.decode.wer import cer
+from tpu_ctc.parallel.mesh import make_mesh
+from tpu_ctc.train import checkpoint as ckpt_lib
+from tpu_ctc.train.step import (TrainState, create_train_state,
+                                make_eval_step, make_train_step)
+
+
+class MetricsLogger:
+    """Structured JSONL metrics writer (one line per event)."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        self._f = open(path, "a") if path else None
+
+    def log(self, **event):
+        event.setdefault("time", time.time())
+        if self._f:
+            self._f.write(json.dumps(event) + "\n")
+            self._f.flush()
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+def batch_to_device_dict(batch: Batch) -> Dict[str, np.ndarray]:
+    return {
+        "feats": batch.feats, "frame_mask": batch.frame_mask,
+        "frame_lengths": batch.frame_lengths, "labels": batch.labels,
+        "label_lengths": batch.label_lengths, "weights": batch.weights,
+    }
+
+
+def evaluate(params, cfg: Config, loader: BucketedLoader, eval_step,
+             alphabet=None, max_batches: Optional[int] = None
+             ) -> Dict[str, float]:
+    """Greedy-decode CER + mean NLL over an eval set."""
+    refs, hyps, nlls, n = [], [], [], 0
+    for i, (_, batch) in enumerate(loader.epoch(0)):
+        if max_batches is not None and i >= max_batches:
+            break
+        out = eval_step(params, batch_to_device_dict(batch))
+        hyp = np.asarray(out["hyp"])
+        hyp_len = np.asarray(out["hyp_len"])
+        nll = np.asarray(out["nll"])
+        for b in range(len(hyp)):
+            if batch.weights[b] > 0:
+                refs.append(list(batch.labels[b][: batch.label_lengths[b]]))
+                hyps.append(list(hyp[b][: hyp_len[b]]))
+                nlls.append(float(nll[b]))
+                n += 1
+    return {"cer": cer(refs, hyps), "nll": float(np.mean(nlls)) if nlls else 0.0,
+            "num_utts": n}
+
+
+def train(cfg: Config,
+          train_data: Sequence[Tuple[np.ndarray, np.ndarray]],
+          eval_data: Optional[Sequence[Tuple[np.ndarray, np.ndarray]]] = None,
+          mesh=None,
+          work_dir: Optional[str] = None,
+          resume: bool = False) -> Tuple[TrainState, Dict[str, float]]:
+    """Run the full training job; returns (final host-side state, last metrics)."""
+    if mesh is None:
+        mesh = make_mesh(cfg.mesh)
+    host_id = jax.process_index()
+    num_hosts = jax.process_count()
+    loader = BucketedLoader(train_data, cfg.data, host_id, num_hosts)
+    eval_loader = (BucketedLoader(eval_data, cfg.data) if eval_data is not None
+                   else None)
+    if loader.num_dropped:
+        print(f"[data] dropped {loader.num_dropped} utterances longer than "
+              f"{cfg.data.bucket_boundaries[-1]} frames")
+
+    work_dir = work_dir or "."
+    os.makedirs(work_dir, exist_ok=True)
+    metrics_path = (os.path.join(work_dir, cfg.train.metrics_path)
+                    if cfg.train.metrics_path else None)
+    logger = MetricsLogger(metrics_path if host_id == 0 else None)
+    ckpt_dir = os.path.join(work_dir, cfg.train.checkpoint_dir)
+    manager = ckpt_lib.make_manager(ckpt_dir, cfg.train.keep_checkpoints)
+
+    state = create_train_state(cfg)
+    start_epoch, start_batch = 0, 0
+    if resume:
+        restored = ckpt_lib.restore(manager, state)
+        if restored is not None:
+            state, start_epoch, start_batch = restored
+            print(f"[ckpt] resumed at epoch {start_epoch} batch {start_batch} "
+                  f"step {int(state.step)}")
+
+    step_fn, state = make_train_step(cfg, mesh, state)
+    eval_step = make_eval_step(cfg, mesh)
+
+    last_metrics: Dict[str, float] = {}
+    t_start = time.time()
+    audio_s_acc, t_acc = 0.0, 0.0
+    with mesh:
+        for epoch in range(start_epoch, cfg.train.num_epochs):
+            sb = start_batch if epoch == start_epoch else 0
+            for cursor, batch in loader.epoch(epoch, sb):
+                t0 = time.time()
+                state, m = step_fn(state, batch_to_device_dict(batch))
+                step = int(state.step)
+                if step % cfg.train.log_every == 0:
+                    m = {k: float(v) for k, v in m.items()}
+                    jax.block_until_ready(state.params)
+                    dt = time.time() - t0
+                    audio_s = batch.audio_seconds()
+                    m.update(step=step, epoch=epoch,
+                             audio_s_per_s=audio_s / max(dt, 1e-9),
+                             step_time_s=dt)
+                    logger.log(kind="train", **m)
+                    last_metrics = m
+                if cfg.train.checkpoint_every and \
+                        step % cfg.train.checkpoint_every == 0:
+                    ckpt_lib.save(manager, state, epoch, cursor + 1)
+                if (eval_loader is not None and cfg.train.eval_every
+                        and step % cfg.train.eval_every == 0):
+                    ev = evaluate(state.params, cfg, eval_loader, eval_step)
+                    logger.log(kind="eval", step=step, **ev)
+            logger.log(kind="epoch_end", epoch=epoch,
+                       wall_s=time.time() - t_start)
+    ckpt_lib.save(manager, state, cfg.train.num_epochs, 0, force=True)
+    manager.wait_until_finished()
+    logger.close()
+    return state, last_metrics

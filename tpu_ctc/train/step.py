@@ -1,0 +1,142 @@
+"""The jit-compiled training step — the heart of the framework.
+
+Reference equivalent: the SGD.run inner loop of SURVEY.md §3.1, which
+crossed host↔device twice per utterance around the CPU CTC loss.  Here the
+whole step — BiRNN forward, CTC loss, backprop, gradient clipping, Nesterov
+momentum update — is ONE jit-compiled XLA program with zero host crossings.
+Data parallelism comes from NamedSharding on the 'data' mesh axis: XLA turns
+the mean over the batch into a gradient allreduce over ICI (SURVEY.md §2.2
+P1); tensor parallelism from the param PartitionSpecs (P2).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_ctc.config import Config
+from tpu_ctc.losses import ctc
+from tpu_ctc.models import birnn
+from tpu_ctc.parallel.mesh import AXIS_DATA
+from tpu_ctc.train.optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray            # int32 scalar
+    params: Any                  # model param pytree
+    opt_state: Any               # optax state
+
+
+def create_train_state(cfg: Config, key: Optional[jax.Array] = None) -> TrainState:
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    params = birnn.init_params(key, cfg.model)
+    tx = make_optimizer(cfg.optim)
+    return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+
+
+def loss_fn(params, cfg: Config, batch: Dict[str, jnp.ndarray]):
+    """Weighted-mean per-utterance CTC NLL plus metrics."""
+    logits = birnn.forward(params, cfg.model, batch["feats"],
+                           batch["frame_mask"])
+    nll = ctc.ctc_loss(logits, batch["labels"], batch["frame_lengths"],
+                       batch["label_lengths"], impl=cfg.ctc_impl)
+    w = batch["weights"]
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    loss = jnp.sum(nll * w) / denom
+    frames = jnp.maximum(jnp.sum(batch["frame_lengths"] * w), 1.0)
+    metrics = {
+        "loss": loss,
+        "loss_per_frame": jnp.sum(nll * w) / frames,
+        "num_utts": jnp.sum(w),
+        "num_frames": frames,
+    }
+    return loss, metrics
+
+
+def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+               cfg: Config, tx: optax.GradientTransformation
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    (loss, metrics), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params, cfg, batch)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return TrainState(state.step + 1, params, opt_state), metrics
+
+
+def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+    data = NamedSharding(mesh, P(AXIS_DATA))
+    return {
+        "feats": data, "frame_mask": data, "frame_lengths": data,
+        "labels": data, "label_lengths": data, "weights": data,
+    }
+
+
+def state_shardings(mesh: Mesh, cfg: Config, state: TrainState):
+    """NamedSharding pytree for TrainState: params TP-sharded per
+    :func:`birnn.param_partition_specs`, optimizer state following params."""
+    pspecs = birnn.param_partition_specs(cfg.model)
+
+    def to_sharding(spec):
+        return NamedSharding(mesh, spec)
+
+    param_sh = jax.tree.map(to_sharding, pspecs,
+                            is_leaf=lambda x: isinstance(x, P))
+    # Optax state mirrors the param tree where leaves match param shapes;
+    # scalars (counts, schedules) are replicated.
+    shape_to_sh = {}
+    for leaf, sh in zip(jax.tree.leaves(state.params), jax.tree.leaves(param_sh)):
+        shape_to_sh.setdefault(leaf.shape, sh)
+
+    def opt_leaf_sharding(leaf):
+        if hasattr(leaf, "shape") and leaf.shape in shape_to_sh and leaf.ndim > 0:
+            return shape_to_sh[leaf.shape]
+        return NamedSharding(mesh, P())
+
+    opt_sh = jax.tree.map(opt_leaf_sharding, state.opt_state)
+    return TrainState(NamedSharding(mesh, P()), param_sh, opt_sh)
+
+
+def make_train_step(cfg: Config, mesh: Mesh, state: TrainState):
+    """Compile the sharded train step.
+
+    Returns (step_fn, sharded_state): the state is device_put with its
+    shardings, and step_fn is a jit with explicit in/out shardings so the
+    compiler lays out params for TP and inserts the DP gradient psum.
+    """
+    tx = make_optimizer(cfg.optim)
+    st_sh = state_shardings(mesh, cfg, state)
+    b_sh = batch_shardings(mesh)
+    state = jax.device_put(state, st_sh)
+    fn = jax.jit(
+        functools.partial(train_step, cfg=cfg, tx=tx),
+        in_shardings=(st_sh, b_sh),
+        out_shardings=(st_sh, NamedSharding(mesh, P())),
+        donate_argnums=(0,),
+    )
+    return fn, state
+
+
+def make_eval_step(cfg: Config, mesh: Mesh):
+    """jit'd eval: forward + greedy decode + on-device CER pieces."""
+    from tpu_ctc.decode.greedy import collapse_ids
+
+    b_sh = batch_shardings(mesh)
+
+    def eval_step(params, batch):
+        logits = birnn.forward(params, cfg.model, batch["feats"],
+                               batch["frame_mask"])
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+        hyp, hyp_len = collapse_ids(ids, batch["frame_mask"])
+        nll = ctc.ctc_loss(log_probs, batch["labels"], batch["frame_lengths"],
+                           batch["label_lengths"], impl="jnp",
+                           from_log_probs=True)
+        return {"hyp": hyp, "hyp_len": hyp_len, "nll": nll}
+
+    return jax.jit(eval_step, in_shardings=(None, b_sh))
