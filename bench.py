@@ -48,7 +48,7 @@ def bench_tpu_train(hidden=1024, num_bi=3, batch=32, t_frames=400,
                         bucket_boundaries=(t_frames,)),
         mesh=MeshConfig(data=1, model=1, seq=1),
         train=TrainConfig(metrics_path=""),
-        ctc_impl="jnp",
+        ctc_impl="auto",
     )
     rng = np.random.RandomState(0)
     utts = [(rng.randn(t_frames, input_dim).astype(np.float32),

@@ -1,0 +1,93 @@
+"""CTC kernel micro-benchmark: Pallas DP vs jnp lax.scan, fwd and fwd+bwd.
+
+BASELINE.md instruments "CTC-loss kernel TFLOP/s"; the DP is mostly
+log-sum-exp (transcendental-bound, ~10 flops/cell), so we report both
+lattice cells/s and the derived TFLOP/s, plus wall-clock speedup.
+
+Run: python -m tpu_ctc.bench.bench_ctc [--batch 32 --frames 1600 --labels 120]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_ctc.losses import ctc_ref
+from tpu_ctc.ops import ctc_pallas
+
+FLOPS_PER_CELL = 10.0  # lse3: 3 exp + log + adds (counting transcendentals as 1)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def run(batch=32, frames=1600, labels=120, vocab=29, iters=10):
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(batch, frames, vocab).astype(np.float32))
+    labs = jnp.asarray(rng.randint(1, vocab, (batch, labels)).astype(np.int32))
+    tl = jnp.full((batch,), frames, jnp.int32)
+    ll = jnp.full((batch,), labels, jnp.int32)
+
+    cells = batch * frames * (2 * labels + 1)
+
+    fwd_ref = jax.jit(lambda x: ctc_ref.ctc_loss(x, labs, tl, ll))
+    fwd_pal = jax.jit(lambda x: ctc_pallas.ctc_loss(x, labs, tl, ll))
+    grad_ref = jax.jit(jax.grad(lambda x: jnp.sum(
+        ctc_ref.ctc_loss(x, labs, tl, ll))))
+    grad_pal = jax.jit(jax.grad(lambda x: jnp.sum(
+        ctc_pallas.ctc_loss(x, labs, tl, ll))))
+
+    # correctness spot-check before timing
+    np.testing.assert_allclose(np.asarray(fwd_pal(logits)),
+                               np.asarray(fwd_ref(logits)), rtol=1e-3)
+
+    results = {}
+    for name, fn in [("fwd_jnp", fwd_ref), ("fwd_pallas", fwd_pal),
+                     ("grad_jnp", grad_ref), ("grad_pallas", grad_pal)]:
+        dt = timeit(fn, logits, iters=iters)
+        results[name] = dt
+        log(f"[ctc-bench] {name:12s} {dt*1e3:8.2f} ms  "
+            f"{cells/dt/1e9:7.2f} Gcells/s  "
+            f"{cells*FLOPS_PER_CELL/dt/1e12:6.3f} TFLOP/s-equiv")
+    log(f"[ctc-bench] fwd speedup {results['fwd_jnp']/results['fwd_pallas']:.2f}x, "
+        f"grad speedup {results['grad_jnp']/results['grad_pallas']:.2f}x")
+    return results, cells
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--frames", type=int, default=1600)
+    p.add_argument("--labels", type=int, default=120)
+    p.add_argument("--vocab", type=int, default=29)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+    results, cells = run(args.batch, args.frames, args.labels, args.vocab,
+                         args.iters)
+    import json
+    print(json.dumps({
+        "metric": "ctc_grad_cells_per_s",
+        "value": round(cells / results["grad_pallas"] / 1e9, 3),
+        "unit": "Gcells/s",
+        "vs_baseline": round(results["grad_jnp"] / results["grad_pallas"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -131,7 +131,7 @@ class Config:
     decode: DecodeConfig = field(default_factory=DecodeConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     # Which CTC implementation: "jnp" (lax.scan reference) or "pallas".
-    ctc_impl: str = "jnp"
+    ctc_impl: str = "auto"
 
     # ---- serialization ------------------------------------------------
 

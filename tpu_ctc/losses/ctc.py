@@ -15,8 +15,15 @@ from tpu_ctc.losses import ctc_ref
 
 
 def ctc_loss(logits, labels, logit_lengths, label_lengths, blank: int = 0,
-             impl: str = "jnp", from_log_probs: bool = False):
-    """Per-utterance CTC NLL [B]; see :func:`ctc_ref.ctc_loss`."""
+             impl: str = "auto", from_log_probs: bool = False):
+    """Per-utterance CTC NLL [B]; see :func:`ctc_ref.ctc_loss`.
+
+    impl="auto" picks the Pallas kernel on TPU (11x fwd / 27x grad over the
+    scan on v5e) and the jnp scan elsewhere (interpret-mode Pallas is only
+    for tests).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if impl == "pallas":
         from tpu_ctc.ops import ctc_pallas
         if ctc_pallas.supported():

@@ -1,17 +1,308 @@
 """Pallas TPU kernel for the CTC forward-backward dynamic program.
 
-Placeholder in this stage of the build (SURVEY.md §7.1 stage 8): the
-dispatcher in :mod:`tpu_ctc.losses.ctc` falls back to the jnp scan when
-:func:`supported` is False.  The kernel lands with its own grad tests and a
-TFLOP/s benchmark against the jnp implementation.
+BASELINE north_star: "the Python/Cython CTC loss becomes a Pallas log-space
+DP kernel (log-space alpha/beta recursions tiled over the label lattice)".
+Reference shape of the computation: SURVEY.md §3.2 — a T x S dynamic
+program, sequential in t, parallel in s (S = 2L+1 blank-augmented states).
+
+Design (division of labor with XLA):
+
+  * The **kernels** implement only the intrinsically sequential recursions
+    (alpha forward, beta backward) on [8, Tc, S_pad] VMEM tiles: per time
+    step, two lane-rolls, a 3-way log-sum-exp, and an add — pure VPU work.
+    The grid is (B/8, T/Tc); TPU grids execute sequentially, so the alpha
+    (resp. beta) carry lives in VMEM scratch across time-chunks of the same
+    batch block, and Pallas double-buffers the HBM<->VMEM tile DMAs.
+    Per-frame activity (t < len, t == len-1, ...) is derived *inside* the
+    kernel from per-row lengths (a static lane-0 load + the scalar time
+    index) — Mosaic cannot do dynamic lane-dim loads, and shipping [B, T]
+    mask tensors would waste bandwidth.
+
+  * **XLA** handles everything embarrassingly parallel around them: the
+    emission gather emit[b,t,s] = log_probs[b,t,ext[b,s]] with the
+    state-validity mask folded in, the lattice masks (skip permission,
+    initial/final states), the final log-sum-exp that turns frozen alphas
+    into losses, and the gradient scatter gamma -> vocab classes (a
+    take-along-axis transpose that autodiff turns into a segment-sum).
+
+  * The gradient is a **custom VJP**: the backward pass runs the beta
+    kernel, then d(-logP)/d(emit[t,s]) = -exp(alpha + beta + nll), and the
+    chain rule through the emission gather / log-softmax is ordinary XLA
+    autodiff.
+
+State freezing makes variable lengths free: frames past a row's length
+leave alpha untouched, so alpha_out[:, T-1, :] is each row's *final* alpha
+regardless of its length, and the loss needs no per-row time gather.
+
+Numerics match :mod:`tpu_ctc.losses.ctc_ref` (same finite NEG_INF
+sentinels, same log-floor trick); parity is tested in
+``tests/test_ctc_pallas.py`` against both the jnp scan and the torch oracle
+fixtures.  On non-TPU backends the kernels run in Pallas interpret mode, so
+the same code path is CI-testable on the virtual CPU mesh.
 """
 from __future__ import annotations
 
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_ctc.losses.ctc_ref import NEG_INF, extend_labels
+
+_LOG_FLOOR = 1e-37
+_BB = 8          # batch rows per grid block (f32 sublane tile)
+_TC = 128        # time steps per grid block
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
 
 def supported() -> bool:
-    return False
+    return True
 
 
-def ctc_loss_from_log_probs(log_probs, labels, logit_lengths, label_lengths,
-                            blank: int = 0):
-    raise NotImplementedError("Pallas CTC kernel not yet built; use impl='jnp'")
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _lse3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, NEG_INF / 2)
+    out = m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe)
+                           + jnp.exp(c - m_safe) + _LOG_FLOOR)
+    return jnp.where(m > NEG_INF / 2, out, NEG_INF)
+
+
+def _shift_lanes(x, shift):
+    """x[..., s] <- x[..., s-shift] with NEG_INF fill (shift > 0)."""
+    rolled = pltpu.roll(x, shift=shift, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= shift, rolled, NEG_INF)
+
+
+def _shift_lanes_neg(x, shift):
+    """x[..., s] <- x[..., s+shift] with NEG_INF fill (shift > 0)."""
+    # pltpu.roll requires a non-negative shift; left-roll by k == roll by S-k.
+    rolled = pltpu.roll(x, shift=x.shape[1] - shift, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < x.shape[1] - shift, rolled, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# Forward (alpha) kernel
+# ---------------------------------------------------------------------------
+
+def _alpha_kernel(emit_ref, skip_ref, init_ref, len_ref,
+                  alpha_out_ref, alpha_scratch):
+    ti = pl.program_id(1)
+    skip = skip_ref[:, :] > 0.0
+    length = len_ref[:, 0:1]                      # [8, 1] f32, static load
+
+    @pl.when(ti == 0)
+    def _():
+        alpha_scratch[:, :] = jnp.full_like(alpha_scratch[:, :], NEG_INF)
+
+    def body(i, alpha):
+        t = ti * _TC + i
+        emit_row = emit_ref[:, i, :]
+        s1 = _shift_lanes(alpha, 1)
+        s2 = jnp.where(skip, _shift_lanes(alpha, 2), NEG_INF)
+        new = _lse3(alpha, s1, s2) + emit_row
+        new = jnp.where(t == 0, init_ref[:, :] + emit_row, new)
+        alpha = jnp.where(t < length, new, alpha)
+        alpha_out_ref[:, i, :] = alpha
+        return alpha
+
+    alpha_scratch[:, :] = jax.lax.fori_loop(
+        0, emit_ref.shape[1], body, alpha_scratch[:, :])
+
+
+def _run_alpha(emit, skip, init, lengths):
+    """emit [B,T,S], skip/init [B,S], lengths [B,128] -> alpha_out [B,T,S]."""
+    b, t, s = emit.shape
+    grid = (b // _BB, t // _TC)
+    return pl.pallas_call(
+        _alpha_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BB, _TC, s), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, s), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, s), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, 128), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BB, _TC, s), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, s), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_BB, s), jnp.float32)],
+        interpret=_interpret(),
+    )(emit, skip, init, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Backward (beta) kernel
+# ---------------------------------------------------------------------------
+
+def _beta_kernel(emit_ref, skip2_ref, final_ref, len_ref,
+                 beta_out_ref, be_scratch):
+    ti = pl.program_id(1)
+    nt = pl.num_programs(1)
+    skip2 = skip2_ref[:, :] > 0.0
+    length = len_ref[:, 0:1]                      # [8, 1] f32
+    tc = emit_ref.shape[1]
+
+    @pl.when(ti == 0)
+    def _():
+        be_scratch[:, :] = jnp.full_like(be_scratch[:, :], NEG_INF)
+
+    def body(j, be_next):
+        i = tc - 1 - j                            # reverse within the chunk
+        t = (nt - 1 - ti) * _TC + i               # global time (chunks reversed)
+        emit_row = emit_ref[:, i, :]
+        s1 = _shift_lanes_neg(be_next, 1)
+        s2 = jnp.where(skip2, _shift_lanes_neg(be_next, 2), NEG_INF)
+        new = _lse3(be_next, s1, s2)
+        beta = jnp.where(t == length - 1, final_ref[:, :],
+                         jnp.where(t < length - 1, new, NEG_INF))
+        beta_out_ref[:, i, :] = beta
+        return beta + emit_row
+
+    be_scratch[:, :] = jax.lax.fori_loop(0, tc, body, be_scratch[:, :])
+
+
+def _run_beta(emit, skip2, final, lengths):
+    b, t, s = emit.shape
+    nt = t // _TC
+    grid = (b // _BB, nt)
+    rev = lambda bi, ti: (bi, nt - 1 - ti, 0)
+    return pl.pallas_call(
+        _beta_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BB, _TC, s), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, s), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, s), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, 128), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BB, _TC, s), rev, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, s), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_BB, s), jnp.float32)],
+        interpret=_interpret(),
+    )(emit, skip2, final, lengths)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP DP on the emission lattice
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _ctc_dp(emit, skip, skip2, init, final, lengths):
+    nll, _ = _ctc_dp_fwd(emit, skip, skip2, init, final, lengths)
+    return nll
+
+
+def _ctc_dp_fwd(emit, skip, skip2, init, final, lengths):
+    alpha = _run_alpha(emit, skip, init, lengths)
+    # Frozen final alpha + additive final-state mask -> per-row log P.
+    a_last = alpha[:, -1, :] + final
+    m = jnp.max(a_last, axis=1)
+    m_safe = jnp.maximum(m, NEG_INF / 2)
+    logp = m_safe + jnp.log(
+        jnp.sum(jnp.exp(a_last - m_safe[:, None]), axis=1) + _LOG_FLOOR)
+    logp = jnp.where(m > NEG_INF / 2, logp, NEG_INF)
+    nll = jnp.minimum(-logp, 1e9)
+    return nll, (emit, skip2, final, lengths, alpha, nll)
+
+
+def _ctc_dp_bwd(res, g):
+    emit, skip2, final, lengths, alpha, nll = res
+    beta = _run_beta(emit, skip2, final, lengths)
+    # gamma[b,t,s] = exp(alpha + beta - logP); d nll/d emit = -gamma.
+    log_gamma = alpha + beta + nll[:, None, None]
+    gamma = jnp.where(log_gamma > NEG_INF / 2, jnp.exp(log_gamma), 0.0)
+    active = (jnp.arange(alpha.shape[1])[None, :]
+              < lengths[:, 0][:, None]).astype(gamma.dtype)
+    gamma = gamma * active[:, :, None]
+    # Infeasible rows (clamped nll) carry no gradient.
+    feasible = (nll < 1e9)[:, None, None]
+    demit = jnp.where(feasible, -gamma * g[:, None, None], 0.0)
+    z = lambda x: jnp.zeros_like(x)
+    return (demit, z(skip2), z(skip2), z(final), z(final),
+            jnp.zeros_like(lengths))
+
+
+_ctc_dp.defvjp(_ctc_dp_fwd, _ctc_dp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+def ctc_loss_from_log_probs(log_probs: jnp.ndarray,
+                            labels: jnp.ndarray,
+                            logit_lengths: jnp.ndarray,
+                            label_lengths: jnp.ndarray,
+                            blank: int = 0) -> jnp.ndarray:
+    """Per-utterance CTC NLL [B] — Pallas DP, same contract as
+    :func:`tpu_ctc.losses.ctc_ref.ctc_loss_from_log_probs`."""
+    b, t, a = log_probs.shape
+    labels = labels.astype(jnp.int32)
+    ext, allow_skip = extend_labels(labels, blank)            # [B, S0]
+    s0 = ext.shape[1]
+    s = _round_up(max(s0, 128), 128)
+    b_pad = _round_up(b, _BB)
+    t_pad = _round_up(t, _TC)
+
+    lengths = logit_lengths.astype(jnp.int32)
+    lab_len = label_lengths.astype(jnp.int32)
+
+    # Emission lattice + validity folded in (invalid states stay dead).
+    emit = jnp.take_along_axis(log_probs.astype(jnp.float32),
+                               ext[:, None, :], axis=2)       # [B, T, S0]
+    s_idx = jnp.arange(s0)[None, :]
+    valid = s_idx < (2 * lab_len[:, None] + 1)
+    emit = emit + jnp.where(valid, 0.0, NEG_INF)[:, None, :]
+
+    skip = allow_skip.astype(jnp.float32)                     # [B, S0]
+    # beta's s -> s+2 jump permission: allow_skip evaluated at s+2.
+    skip2 = jnp.pad(skip[:, 2:], ((0, 0), (0, 2)))
+    init = jnp.where(s_idx == 0, 0.0, NEG_INF)
+    init = jnp.where((s_idx == 1) & (lab_len[:, None] > 0), 0.0, init)
+    last = 2 * lab_len[:, None]
+    final = jnp.where((s_idx == last)
+                      | ((s_idx == last - 1) & (lab_len[:, None] > 0)),
+                      0.0, NEG_INF)
+
+    # Pad to kernel tiles.  Padded rows get length 0 (never active); padded
+    # lanes get NEG_INF emissions (dead states); padded frames freeze alpha.
+    emit = jnp.pad(emit, ((0, b_pad - b), (0, t_pad - t), (0, s - s0)),
+                   constant_values=NEG_INF)
+    pad_bs = lambda x: jnp.pad(x, ((0, b_pad - b), (0, s - s0)),
+                               constant_values=NEG_INF)
+    pad_bs0 = lambda x: jnp.pad(x, ((0, b_pad - b), (0, s - s0)))
+    # float32 so the custom-VJP cotangent is an ordinary zero array
+    # (integer primals would need float0 cotangents).
+    len_bcast = jnp.broadcast_to(
+        jnp.pad(lengths, (0, b_pad - b)).astype(jnp.float32)[:, None],
+        (b_pad, 128))
+
+    nll = _ctc_dp(emit, pad_bs0(skip), pad_bs0(skip2), pad_bs(init),
+                  pad_bs(final), len_bcast)
+    return nll[:b]
+
+
+def ctc_loss(logits, labels, logit_lengths, label_lengths, blank: int = 0):
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return ctc_loss_from_log_probs(log_probs, labels, logit_lengths,
+                                   label_lengths, blank)
