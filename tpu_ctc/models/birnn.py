@@ -99,17 +99,16 @@ def _dense(x, layer, cfg: ModelConfig, activate: bool = True) -> jnp.ndarray:
     return clipped_relu(y, cfg.relu_clip) if activate else y
 
 
-def _recurrence(z: jnp.ndarray, w: jnp.ndarray, mask: jnp.ndarray,
-                reverse: bool, *, cfg: ModelConfig) -> jnp.ndarray:
-    """Run h_t = act(z_t + W h_{t-1}) along time via ``lax.scan``.
+def _recurrence_with_carry(z: jnp.ndarray, w: jnp.ndarray, mask: jnp.ndarray,
+                           reverse: bool, h0: jnp.ndarray, *,
+                           cfg: ModelConfig):
+    """h_t = act(z_t + W h_{t-1}) along time via ``lax.scan``, from carry h0.
 
-    z: [B, T, H] precomputed input projection (float32).
-    mask: [B, T] — at padded frames the state is held at zero, so the
-    backward direction effectively starts at each utterance's true last
-    frame (padding is trailing).
+    Returns (hs [B, T, H], h_last [B, H]) where h_last is the state at the
+    chunk boundary (last frame fwd / first frame bwd) — the carry a
+    sequence-parallel neighbour chunk resumes from (SURVEY.md §2.2 P4).
     """
     cdt = jnp.dtype(cfg.compute_dtype)
-    b, t, h = z.shape
     z_t = jnp.moveaxis(z, 1, 0)                 # [T, B, H]
     m_t = jnp.moveaxis(mask, 1, 0)[..., None]   # [T, B, 1]
 
@@ -119,9 +118,21 @@ def _recurrence(z: jnp.ndarray, w: jnp.ndarray, mask: jnp.ndarray,
         h_new = h_new * m_i
         return h_new, h_new
 
-    init = jnp.zeros((b, h), dtype=jnp.float32)
-    _, hs = jax.lax.scan(step, init, (z_t, m_t), reverse=reverse)
-    return jnp.moveaxis(hs, 0, 1)               # [B, T, H]
+    h_last, hs = jax.lax.scan(step, h0, (z_t, m_t), reverse=reverse)
+    return jnp.moveaxis(hs, 0, 1), h_last       # [B, T, H], [B, H]
+
+
+def _recurrence(z: jnp.ndarray, w: jnp.ndarray, mask: jnp.ndarray,
+                reverse: bool, *, cfg: ModelConfig) -> jnp.ndarray:
+    """Zero-carry recurrence (single-chunk case).
+
+    mask: [B, T] — at padded frames the state is held at zero, so the
+    backward direction effectively starts at each utterance's true last
+    frame (padding is trailing).
+    """
+    h0 = jnp.zeros((z.shape[0], z.shape[2]), dtype=jnp.float32)
+    hs, _ = _recurrence_with_carry(z, w, mask, reverse, h0, cfg=cfg)
+    return hs
 
 
 def _bi_layer(x, layer, mask, cfg: ModelConfig) -> jnp.ndarray:

@@ -1,0 +1,131 @@
+"""Sequence parallelism: time-axis sharding of the BiRNN over the 'seq' axis.
+
+SURVEY.md §2.2 P4 / §5 "Long-context": the recurrent-model analogue of ring
+attention.  The time axis is sharded over the 'seq' mesh axis; everything
+batched over T (input projections, output layer, feature frontend) runs
+fully parallel on local chunks, while the intrinsically sequential
+recurrences exchange their boundary hidden state with the neighbouring
+chip via ``ppermute`` — the forward direction rings left->right and the
+backward direction right->left **in the same rounds**, so the two
+directions' wavefronts overlap.
+
+The CTC loss also recurses over T, but its input (logits, A ~ 29) is tiny
+compared to the hidden activations, so logits are ``all_gather``-ed over
+'seq' and the loss runs on the full T per chip (replicated over 'seq',
+sharded over 'data').  This keeps all heavy activations chunked — the
+point of SP is HBM headroom for long utterances — while the loss stays the
+exact single-chunk computation.
+
+Used by :func:`tpu_ctc.train.step.make_train_step` when mesh.seq > 1: the
+whole loss is evaluated under ``jax.shard_map`` with feats/mask sharded
+P('data', 'seq') and params replicated over 'seq'.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tpu_ctc.config import Config, ModelConfig
+from tpu_ctc.models import birnn
+from tpu_ctc.parallel.mesh import AXIS_DATA, AXIS_SEQ
+
+
+def _sp_bi_layer(x, layer, mask, cfg: ModelConfig):
+    """One bidirectional layer on a local time-chunk with carry rings."""
+    z = birnn._dense(x, layer, cfg, activate=False)
+    n = jax.lax.axis_size(AXIS_SEQ)
+    idx = jax.lax.axis_index(AXIS_SEQ)
+    b, _, h = z.shape
+    zeros_h = jnp.zeros((b, h), jnp.float32)
+
+    out_f = jnp.zeros_like(z)
+    out_b = jnp.zeros_like(z)
+    h_in_f = zeros_h
+    h_in_b = zeros_h
+    perm_f = [(i, i + 1) for i in range(n - 1)]
+    perm_b = [(i, i - 1) for i in range(1, n)]
+
+    # n wavefront rounds; fwd runs on chunk r while bwd runs on chunk
+    # n-1-r, so both directions finish together after n rounds.
+    for r in range(n):
+        hs_f, last_f = birnn._recurrence_with_carry(
+            z, layer["wf"], mask, False, h_in_f, cfg=cfg)
+        hs_b, last_b = birnn._recurrence_with_carry(
+            z, layer["wb"], mask, True, h_in_b, cfg=cfg)
+        run_f = (idx == r)
+        run_b = (idx == n - 1 - r)
+        out_f = jnp.where(run_f, hs_f, out_f)
+        out_b = jnp.where(run_b, hs_b, out_b)
+        if r < n - 1:
+            h_in_f = jax.lax.ppermute(
+                jnp.where(run_f, last_f, 0.0), AXIS_SEQ, perm_f)
+            h_in_b = jax.lax.ppermute(
+                jnp.where(run_b, last_b, 0.0), AXIS_SEQ, perm_b)
+    return out_f + out_b
+
+
+def forward_sp(params, cfg: ModelConfig, feats, frame_mask):
+    """BiRNN forward on a local time-chunk; call inside shard_map.
+
+    feats: [B_loc, T_loc, D]; returns local logits [B_loc, T_loc, A].
+    """
+    x = feats.astype(jnp.float32)
+    for layer in params["pre"]:
+        x = birnn._dense(x, layer, cfg)
+    for layer in params["bi"]:
+        x = _sp_bi_layer(x, layer, frame_mask, cfg)
+    for layer in params["post"]:
+        x = birnn._dense(x, layer, cfg)
+    return birnn._dense(x, params["out"], cfg, activate=False)
+
+
+def make_sp_loss_fn(cfg: Config, mesh):
+    """Build loss_fn(params, batch) evaluated under shard_map with SP.
+
+    Matches the signature/metrics of :func:`tpu_ctc.train.step.loss_fn`.
+    """
+    from tpu_ctc.losses import ctc
+
+    batch_specs = {
+        "feats": P(AXIS_DATA, AXIS_SEQ, None),
+        "frame_mask": P(AXIS_DATA, AXIS_SEQ),
+        "frame_lengths": P(AXIS_DATA),
+        "labels": P(AXIS_DATA),
+        "label_lengths": P(AXIS_DATA),
+        "weights": P(AXIS_DATA),
+    }
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), batch_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def sp_loss(params, batch):
+        logits_loc = forward_sp(params, cfg.model, batch["feats"],
+                                batch["frame_mask"])
+        # Gather the (small) logits over 'seq': [B_loc, T, A].
+        logits = jax.lax.all_gather(logits_loc, AXIS_SEQ, axis=1, tiled=True)
+        nll = ctc.ctc_loss(logits, batch["labels"], batch["frame_lengths"],
+                           batch["label_lengths"], impl=cfg.ctc_impl)
+        w = batch["weights"]
+        s_nll = jax.lax.psum(jnp.sum(nll * w), AXIS_DATA)
+        s_w = jax.lax.psum(jnp.sum(w), AXIS_DATA)
+        s_frames = jax.lax.psum(jnp.sum(batch["frame_lengths"] * w),
+                                AXIS_DATA)
+        denom = jnp.maximum(s_w, 1.0)
+        frames = jnp.maximum(s_frames, 1.0)
+        loss = s_nll / denom
+        metrics = {
+            "loss": loss,
+            "loss_per_frame": s_nll / frames,
+            "num_utts": s_w,
+            "num_frames": frames,
+        }
+        return loss, metrics
+
+    return sp_loss, batch_specs

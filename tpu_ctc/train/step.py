@@ -59,22 +59,35 @@ def loss_fn(params, cfg: Config, batch: Dict[str, jnp.ndarray]):
 
 
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-               cfg: Config, tx: optax.GradientTransformation
-               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+               cfg: Config, tx: optax.GradientTransformation,
+               loss_closure=None) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    if loss_closure is None:
+        loss_closure = lambda p, b: loss_fn(p, cfg, b)
     (loss, metrics), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params, cfg, batch)
+        loss_closure, has_aux=True)(state.params, batch)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics["grad_norm"] = optax.global_norm(grads)
     return TrainState(state.step + 1, params, opt_state), metrics
 
 
+def _uses_sp(mesh: Mesh) -> bool:
+    from tpu_ctc.parallel.mesh import AXIS_SEQ
+    return dict(mesh.shape).get(AXIS_SEQ, 1) > 1
+
+
 def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+    """Input shardings: batch over 'data'; with SP, frames over 'seq' too."""
     data = NamedSharding(mesh, P(AXIS_DATA))
-    return {
+    out = {
         "feats": data, "frame_mask": data, "frame_lengths": data,
         "labels": data, "label_lengths": data, "weights": data,
     }
+    if _uses_sp(mesh):
+        from tpu_ctc.parallel.mesh import AXIS_SEQ
+        out["feats"] = NamedSharding(mesh, P(AXIS_DATA, AXIS_SEQ, None))
+        out["frame_mask"] = NamedSharding(mesh, P(AXIS_DATA, AXIS_SEQ))
+    return out
 
 
 def state_shardings(mesh: Mesh, cfg: Config, state: TrainState):
@@ -113,8 +126,17 @@ def make_train_step(cfg: Config, mesh: Mesh, state: TrainState):
     st_sh = state_shardings(mesh, cfg, state)
     b_sh = batch_shardings(mesh)
     state = jax.device_put(state, st_sh)
+    loss_closure = None
+    if _uses_sp(mesh):
+        from tpu_ctc.parallel.mesh import AXIS_MODEL
+        if dict(mesh.shape).get(AXIS_MODEL, 1) > 1:
+            raise NotImplementedError(
+                "seq and model parallelism cannot yet be combined")
+        from tpu_ctc.parallel.seq_parallel import make_sp_loss_fn
+        loss_closure, _ = make_sp_loss_fn(cfg, mesh)
     fn = jax.jit(
-        functools.partial(train_step, cfg=cfg, tx=tx),
+        functools.partial(train_step, cfg=cfg, tx=tx,
+                          loss_closure=loss_closure),
         in_shardings=(st_sh, b_sh),
         out_shardings=(st_sh, NamedSharding(mesh, P())),
         donate_argnums=(0,),
