@@ -1,0 +1,97 @@
+"""Corpus tooling tests: manifest builder, manifest loader, WER scorer."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import score as score_tool  # noqa: E402
+from make_manifest import normalize_text, records_from_dir  # noqa: E402
+
+from tpu_ctc.config import get_config  # noqa: E402
+from tpu_ctc.data.manifest import load_manifest_dataset, write_manifest  # noqa: E402
+
+
+class TestNormalize:
+    def test_charset(self):
+        assert normalize_text("Hello, World! it's 42.") == "hello world it's"
+        assert normalize_text("  A  B  ") == "a b"
+
+
+class TestManifestRoundtrip:
+    def make_corpus(self, tmp_path, n=4, audio=False):
+        rng = np.random.RandomState(0)
+        for i in range(n):
+            if audio:
+                arr = rng.randn(8000).astype(np.float32)
+            else:
+                arr = rng.randn(50, 23).astype(np.float32)
+            np.save(tmp_path / f"utt{i}.npy", arr)
+            (tmp_path / f"utt{i}.txt").write_text(f"hello world {i}")
+        return tmp_path
+
+    def test_dir_layout_features(self, tmp_path):
+        src = self.make_corpus(tmp_path)
+        recs = list(records_from_dir(str(src)))
+        assert len(recs) == 4
+        assert all("feats" in r for r in recs)
+        write_manifest(str(src), "train", recs)
+        cfg = get_config("1")
+        data = load_manifest_dataset(str(src), cfg, split="train")
+        assert len(data) == 4
+        feats, labels = data[0]
+        # context stacking applied: 23 mels * 3
+        assert feats.shape[1] == cfg.frontend.feature_dim
+        assert labels.dtype == np.int32 and (labels > 0).all()
+
+    def test_dir_layout_audio(self, tmp_path):
+        src = self.make_corpus(tmp_path, audio=True)
+        recs = list(records_from_dir(str(src)))
+        assert all("audio" in r for r in recs)
+        write_manifest(str(src), "train", recs)
+        cfg = get_config("1")
+        data = load_manifest_dataset(str(src), cfg, split="train")
+        feats, _ = data[0]
+        assert feats.shape[1] == cfg.frontend.feature_dim
+
+    def test_cli_end_to_end(self, tmp_path):
+        src = self.make_corpus(tmp_path)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "make_manifest.py"),
+             "--layout", "dir", "--src", str(src), "--out", str(src),
+             "--val-frac", "0.3"],
+            capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr
+        assert os.path.exists(src / "train.jsonl")
+        assert os.path.exists(src / "valid.jsonl")
+
+
+class TestScorer:
+    def test_trn_parse_and_wer(self, tmp_path):
+        ref = tmp_path / "ref.trn"
+        hyp = tmp_path / "hyp.trn"
+        ref.write_text("the cat sat (utt1)\nhello world (utt2)\n")
+        hyp.write_text("the bat sat (utt1)\nhello world (utt2)\n")
+        refs = score_tool.parse_trn(str(ref))
+        hyps = score_tool.parse_trn(str(hyp))
+        totals, per_utt = score_tool.score(refs, hyps)
+        assert totals["sub"] == 1 and totals["ins"] == 0
+        assert abs(totals["error_rate"] - 1 / 5) < 1e-9
+        assert per_utt["utt2"] == 0.0
+
+    def test_alignment_counts(self):
+        s, i, d = score_tool.align_counts("abcd".split(), list("abxd"))
+        # 'abcd' as words vs chars mismatch—use lists consistently
+        s, i, d = score_tool.align_counts(list("abcd"), list("abd"))
+        assert (s, i, d) == (0, 0, 1)
+        s, i, d = score_tool.align_counts(list("abc"), list("abcd"))
+        assert (s, i, d) == (0, 1, 0)
+
+    def test_missing_hyp_counts_as_deletions(self, tmp_path):
+        totals, _ = score_tool.score({"u1": "a b c"}, {})
+        assert totals["missing_hyps"] == 1
+        assert totals["del"] == 3

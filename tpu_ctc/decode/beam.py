@@ -129,8 +129,11 @@ def _lm_scores(lm_table: jnp.ndarray, order: int, last: jnp.ndarray,
 
 
 def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
-                        lm_table, lm_order, lm_alpha, lm_beta):
+                        lm_table, lm_order, lm_alpha, lm_beta,
+                        nlm_params=None):
     """Beam search for one utterance; vmapped over the batch by the caller."""
+    from tpu_ctc.decode import neural_lm
+
     t_total, a = log_probs.shape
     k = beam_width
     n = k * a
@@ -147,6 +150,9 @@ def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
         "pb": jnp.where(jnp.arange(k) == 0, 0.0, NEG_INF),
         "pnb": jnp.full((k,), NEG_INF),
     }
+    if nlm_params is not None:
+        # per-beam GRU state over the prefix (neural char LM, SURVEY C10)
+        init["hlm"] = neural_lm.init_state(nlm_params, (k,))
 
     chars = jnp.arange(a, dtype=jnp.int32)
 
@@ -172,6 +178,9 @@ def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
             lm_row = _lm_scores(lm_table, lm_order, state["last"],
                                 state["last2"])                 # [K, A]
             ext_pnb = ext_pnb + lm_alpha * lm_row + lm_beta
+        if nlm_params is not None:
+            nlm_row = neural_lm.log_probs(nlm_params, state["hlm"])  # [K, A]
+            ext_pnb = ext_pnb + lm_alpha * nlm_row + lm_beta
         # full prefixes cannot extend
         ext_pnb = jnp.where((state["plen"] >= max_len)[:, None],
                             NEG_INF, ext_pnb)
@@ -242,6 +251,12 @@ def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
         new_state = {"buf": n_buf, "plen": n_plen, "last": n_last,
                      "last2": n_last2, "h1": n_h1, "h2": n_h2,
                      "pb": n_pb, "pnb": n_pnb}
+        if nlm_params is not None:
+            hlm_parent = state["hlm"][t_parent]                # [K, H]
+            hlm_ext = neural_lm.gru_step(nlm_params, hlm_parent,
+                                         jnp.maximum(t_ext, 0))
+            new_state["hlm"] = jnp.where(extend[:, None], hlm_ext,
+                                         hlm_parent)
         active = t_i < frame_len
         merged = jax.tree.map(
             lambda new, old: jnp.where(
@@ -267,7 +282,8 @@ def prefix_beam_search(log_probs: jnp.ndarray,
                        lm_table: Optional[jnp.ndarray] = None,
                        lm_order: int = 0,
                        lm_alpha: float = 1.0,
-                       lm_beta: float = 0.0):
+                       lm_beta: float = 0.0,
+                       nlm_params=None):
     """Batched on-device prefix beam search.
 
     Args:
@@ -278,6 +294,8 @@ def prefix_beam_search(log_probs: jnp.ndarray,
       lm_table: optional dense char-LM log-prob table ([A], [A,A] or
         [A,A,A]) matching ``lm_order``.
       lm_alpha / lm_beta: LM weight and per-char insertion bonus.
+      nlm_params: optional neural char-LM (GRU) param pytree; each beam
+        entry carries its recurrent state (SURVEY C10 neural CLM).
 
     Returns:
       (hyps [B, max_len] int32, hyp_lengths [B] int32, scores [B] f32).
@@ -285,11 +303,12 @@ def prefix_beam_search(log_probs: jnp.ndarray,
     fn = functools.partial(
         _beam_search_single, beam_width=beam_width, max_len=max_len,
         blank=blank, lm_table=lm_table, lm_order=lm_order,
-        lm_alpha=lm_alpha, lm_beta=lm_beta)
+        lm_alpha=lm_alpha, lm_beta=lm_beta, nlm_params=nlm_params)
     return jax.vmap(fn)(log_probs, frame_lengths)
 
 
-def make_beam_decoder(cfg, lm: Optional[NGramCharLM] = None):
+def make_beam_decoder(cfg, lm: Optional[NGramCharLM] = None,
+                      nlm_params=None):
     """Build a (params, batch_dict) -> (hyps, lens) decode function."""
     from tpu_ctc.models import birnn
 
@@ -305,7 +324,8 @@ def make_beam_decoder(cfg, lm: Optional[NGramCharLM] = None):
             max_len=min(int(batch["labels"].shape[1]) * 2 + 16,
                         int(batch["feats"].shape[1])),
             lm_table=lm_table, lm_order=lm_order,
-            lm_alpha=cfg.decode.lm_alpha, lm_beta=cfg.decode.lm_beta)
+            lm_alpha=cfg.decode.lm_alpha, lm_beta=cfg.decode.lm_beta,
+            nlm_params=nlm_params)
         return hyps, lens
 
     return decode
