@@ -111,6 +111,8 @@ class DecodeConfig:
 @dataclass(frozen=True)
 class TrainConfig:
     num_epochs: int = 10
+    # Debug: enable jax_debug_nans for the run (fails fast on NaN/Inf).
+    debug_nans: bool = False
     log_every: int = 10
     checkpoint_every: int = 200
     eval_every: int = 200

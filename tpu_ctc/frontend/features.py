@@ -41,12 +41,44 @@ def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndar
     return x[..., idx]
 
 
-def stft_power(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """Power spectrogram ``[..., T, n_fft//2 + 1]`` of ``x [..., N]``."""
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(frame_length: int, n_fft: int) -> np.ndarray:
+    """Real-DFT as a matmul: window-length x 2*(n_fft//2+1) [cos | -sin].
+
+    On TPU the MXU computes an rFFT of these sizes faster than XLA's FFT
+    lowering, and the window fold + power stage fuse around one matmul
+    (BASELINE: "STFT/feature ... kernels at speed-of-light per chip").
+    """
+    n_bins = n_fft // 2 + 1
+    n = np.arange(frame_length)[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    mat = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)
+    return mat.astype(np.float32)
+
+
+def stft_power(x: jnp.ndarray, cfg: FrontendConfig,
+               use_fft: bool = False) -> jnp.ndarray:
+    """Power spectrogram ``[..., T, n_fft//2 + 1]`` of ``x [..., N]``.
+
+    Default path computes the real DFT as one MXU matmul against a
+    precomputed [frame_length, 2*bins] cos/-sin matrix (frame_length <=
+    n_fft makes zero-padding implicit); ``use_fft=True`` keeps the
+    ``jnp.fft.rfft`` lowering for cross-checking.
+    """
     frames = frame_signal(x, cfg.frame_length, cfg.hop_length)
     frames = frames * hann_window(cfg.frame_length, frames.dtype)
-    spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
-    return jnp.square(spec.real) + jnp.square(spec.imag)
+    if use_fft:
+        spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+        return jnp.square(spec.real) + jnp.square(spec.imag)
+    if cfg.frame_length > cfg.n_fft:
+        raise ValueError("frame_length > n_fft requires the fft path")
+    n_bins = cfg.n_fft // 2 + 1
+    mat = jnp.asarray(_dft_matrices(cfg.frame_length, cfg.n_fft))
+    # f32 inputs: windowed audio needs more mantissa than bf16 carries.
+    ri = jnp.einsum("...tn,nk->...tk", frames, mat,
+                    preferred_element_type=jnp.float32)
+    return jnp.square(ri[..., :n_bins]) + jnp.square(ri[..., n_bins:])
 
 
 def _hz_to_mel(f):

@@ -111,10 +111,14 @@ def _recurrence_with_carry(z: jnp.ndarray, w: jnp.ndarray, mask: jnp.ndarray,
     cdt = jnp.dtype(cfg.compute_dtype)
     z_t = jnp.moveaxis(z, 1, 0)                 # [T, B, H]
     m_t = jnp.moveaxis(mask, 1, 0)[..., None]   # [T, B, 1]
+    w_c = w.astype(cdt)                         # cast once, outside the scan
 
     def step(h_prev, inputs):
         z_i, m_i = inputs
-        h_new = clipped_relu(z_i + _dot(h_prev, w, cdt), cfg.relu_clip)
+        h_new = clipped_relu(
+            z_i + jnp.dot(h_prev.astype(cdt), w_c,
+                          preferred_element_type=jnp.float32),
+            cfg.relu_clip)
         h_new = h_new * m_i
         return h_new, h_new
 

@@ -82,6 +82,8 @@ def train(cfg: Config,
           work_dir: Optional[str] = None,
           resume: bool = False) -> Tuple[TrainState, Dict[str, float]]:
     """Run the full training job; returns (final host-side state, last metrics)."""
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if mesh is None:
         mesh = make_mesh(cfg.mesh)
     host_id = jax.process_index()
