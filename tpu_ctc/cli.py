@@ -45,10 +45,37 @@ def _synthetic_data(cfg, n):
     return corpus.all_utterances(), corpus.alphabet
 
 
+def _synthetic_audio_data(cfg, n, seconds=4.0):
+    """Tone-per-character waveforms through the real frontend."""
+    import jax.numpy as jnp
+
+    from tpu_ctc.data.alphabet import DEFAULT_ALPHABET
+    from tpu_ctc.data.synthetic import synthetic_audio_batch
+    from tpu_ctc.frontend import features as F
+
+    fe = cfg.frontend
+    data = []
+    bs = 32
+    for start in range(0, n, bs):
+        b = min(bs, n - start)
+        audio, sl, labels, ll = synthetic_audio_batch(
+            b, int(seconds * fe.sample_rate), sample_rate=fe.sample_rate,
+            seed=start)
+        feats, mask = F.extract_features(jnp.asarray(audio), fe,
+                                         jnp.asarray(sl))
+        feats = np.asarray(feats)
+        nf = np.asarray(mask).sum(axis=1).astype(np.int32)
+        for i in range(b):
+            data.append((feats[i, :nf[i]], labels[i, :ll[i]]))
+    return data, DEFAULT_ALPHABET
+
+
 def cmd_train(args):
     from tpu_ctc.train.loop import train
     cfg = _load_config(args)
-    if args.synthetic:
+    if getattr(args, "synthetic_audio", 0):
+        data, _ = _synthetic_audio_data(cfg, args.synthetic_audio)
+    elif args.synthetic:
         data, _ = _synthetic_data(cfg, args.synthetic)
     else:
         from tpu_ctc.data.manifest import load_manifest_dataset
@@ -73,7 +100,9 @@ def cmd_decode(args):
 
     cfg = _load_config(args)
     alphabet = DEFAULT_ALPHABET
-    if args.synthetic:
+    if getattr(args, "synthetic_audio", 0):
+        data, alphabet = _synthetic_audio_data(cfg, args.synthetic_audio)
+    elif args.synthetic:
         data, alphabet = _synthetic_data(cfg, args.synthetic)
     else:
         from tpu_ctc.data.manifest import load_manifest_dataset
@@ -139,6 +168,9 @@ def main(argv=None):
                         help="dotted-path config override")
     common.add_argument("--synthetic", type=int, default=0,
                         help="use N synthetic utterances instead of --data")
+    common.add_argument("--synthetic-audio", type=int, default=0,
+                        help="use N synthetic tone-waveform utterances "
+                             "through the real frontend")
     common.add_argument("--data", help="manifest directory")
 
     t = sub.add_parser("train", parents=[common])

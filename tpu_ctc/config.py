@@ -28,6 +28,11 @@ class FrontendConfig:
     # Context stacking: +/- k neighbouring frames concatenated, as the
     # reference's dataLoader did (SURVEY C7 "stacks +/-k context frames").
     context: int = 0
+    # Frame subsampling applied AFTER context stacking: keep every k-th
+    # frame.  Halving T halves the sequential recurrence length (the BiRNN
+    # step-time dominator) with no information loss when context >= stride-1.
+    # 1 = reference-faithful (no striding).
+    frame_stride: int = 1
     cmvn: bool = True              # per-utterance mean/variance normalization
 
     @property
@@ -71,7 +76,10 @@ class OptimConfig:
     momentum_start: float = 0.5
     momentum_ramp_steps: int = 0
     grad_clip_norm: float = 5.0    # global-norm clipping
-    lr_decay: float = 1.0          # per-epoch multiplicative decay
+    # Staircase exponential decay: lr *= lr_decay every lr_decay_steps
+    # steps (0 disables) — the reference's per-epoch anneal, step-based.
+    lr_decay: float = 1.0
+    lr_decay_steps: int = 0
     weight_decay: float = 0.0
 
 

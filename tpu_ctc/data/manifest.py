@@ -50,6 +50,8 @@ def load_manifest_dataset(manifest_dir: str, cfg,
                 if fe.cmvn:
                     x = F.cmvn(x)
                 x = F.stack_context(x, fe.context)
+                if fe.frame_stride > 1:
+                    x = x[:, ::fe.frame_stride]
                 feats = np.asarray(x[0])
             elif "audio" in rec:
                 wav = np.load(os.path.join(manifest_dir, rec["audio"]))

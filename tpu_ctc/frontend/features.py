@@ -183,6 +183,9 @@ def extract_features(x: jnp.ndarray, cfg: FrontendConfig,
         feats = cmvn(feats, mask)
     feats = stack_context(feats, cfg.context)
     feats = feats * mask[..., None]
+    if cfg.frame_stride > 1:
+        feats = feats[..., ::cfg.frame_stride, :]
+        mask = mask[..., ::cfg.frame_stride]
     return feats, mask
 
 

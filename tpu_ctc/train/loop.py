@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import threading
 import time
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -43,6 +45,37 @@ class MetricsLogger:
     def close(self):
         if self._f:
             self._f.close()
+
+
+class PreemptionGuard:
+    """Graceful-preemption handling (SURVEY.md §5 "Failure detection").
+
+    On SIGTERM/SIGINT (the TPU-preemption notice) a flag is set; the train
+    loop checks it each step, writes a final checkpoint with the exact data
+    cursor, and exits cleanly — restart-from-latest resumes mid-epoch.
+    Signal handlers only install on the main thread; elsewhere the guard is
+    inert (tests, notebook workers).
+    """
+
+    def __init__(self, enable: bool = True):
+        self.requested = False
+        self._prev = {}
+        if enable and threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    self._prev[sig] = signal.signal(sig, self._handler)
+                except (ValueError, OSError):
+                    pass
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def restore(self):
+        for sig, prev in self._prev.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass
 
 
 def batch_to_device_dict(batch: Batch) -> Dict[str, np.ndarray]:
@@ -122,11 +155,22 @@ def train(cfg: Config,
     from tpu_ctc.train.step import batch_shardings
     b_sh = batch_shardings(mesh)
 
+    guard = PreemptionGuard()
     with mesh:
         for epoch in range(start_epoch, cfg.train.num_epochs):
             sb = start_batch if epoch == start_epoch else 0
             for cursor, batch, dev_batch in prefetch_to_device(
                     loader.epoch(epoch, sb), b_sh):
+                if guard.requested:
+                    ckpt_lib.save(manager, state, epoch, cursor, force=True)
+                    manager.wait_until_finished()
+                    logger.log(kind="preempted", epoch=epoch, cursor=cursor,
+                               step=int(state.step))
+                    logger.close()
+                    guard.restore()
+                    print(f"[preempt] checkpointed at step {int(state.step)} "
+                          f"(epoch {epoch}, batch {cursor}); exiting")
+                    return state, last_metrics
                 t0 = time.time()
                 state, m = step_fn(state, dev_batch)
                 step = int(state.step)
@@ -149,6 +193,7 @@ def train(cfg: Config,
                     logger.log(kind="eval", step=step, **ev)
             logger.log(kind="epoch_end", epoch=epoch,
                        wall_s=time.time() - t_start)
+    guard.restore()
     ckpt_lib.save(manager, state, cfg.train.num_epochs, 0, force=True)
     manager.wait_until_finished()
     logger.close()

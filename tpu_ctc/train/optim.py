@@ -31,5 +31,12 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     parts.append(optax.inject_hyperparams(
         lambda momentum: optax.trace(decay=momentum, nesterov=cfg.nesterov)
     )(momentum=momentum_schedule(cfg)))
-    parts.append(optax.scale(-cfg.learning_rate))
+    if cfg.lr_decay != 1.0 and cfg.lr_decay_steps > 0:
+        lr = optax.exponential_decay(
+            init_value=cfg.learning_rate,
+            transition_steps=cfg.lr_decay_steps,
+            decay_rate=cfg.lr_decay, staircase=True)
+        parts.append(optax.scale_by_learning_rate(lr))
+    else:
+        parts.append(optax.scale(-cfg.learning_rate))
     return optax.chain(*parts)
