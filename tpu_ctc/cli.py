@@ -47,6 +47,9 @@ def _synthetic_data(cfg, n):
 
 def _synthetic_audio_data(cfg, n, seconds=4.0):
     """Tone-per-character waveforms through the real frontend."""
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
     from tpu_ctc.data.alphabet import DEFAULT_ALPHABET
@@ -54,19 +57,29 @@ def _synthetic_audio_data(cfg, n, seconds=4.0):
     from tpu_ctc.frontend import features as F
 
     fe = cfg.frontend
+    # jit the whole frontend (eager per-op dispatch is pathologically slow
+    # on remote-compile backends) and run it on the HOST CPU backend: data
+    # prep must not occupy — or wait on — the accelerator.
+    cpu = jax.local_devices(backend="cpu")[0]
+    extract = jax.jit(functools.partial(F.extract_features, cfg=fe))
     data = []
     bs = 32
-    for start in range(0, n, bs):
-        b = min(bs, n - start)
-        audio, sl, labels, ll = synthetic_audio_batch(
-            b, int(seconds * fe.sample_rate), sample_rate=fe.sample_rate,
-            seed=start)
-        feats, mask = F.extract_features(jnp.asarray(audio), fe,
-                                         jnp.asarray(sl))
-        feats = np.asarray(feats)
-        nf = np.asarray(mask).sum(axis=1).astype(np.int32)
-        for i in range(b):
-            data.append((feats[i, :nf[i]], labels[i, :ll[i]]))
+    with jax.default_device(cpu):
+        for start in range(0, n, bs):
+            b = min(bs, n - start)
+            audio, sl, labels, ll = synthetic_audio_batch(
+                b, int(seconds * fe.sample_rate), sample_rate=fe.sample_rate,
+                seed=start)
+            if b < bs:  # keep one jit shape
+                pad = bs - b
+                audio = np.pad(audio, ((0, pad), (0, 0)))
+                sl = np.pad(sl, (0, pad))
+            feats, mask = extract(jnp.asarray(audio),
+                                  sample_lengths=jnp.asarray(sl))
+            feats = np.asarray(feats[:b])
+            nf = np.asarray(mask[:b]).sum(axis=1).astype(np.int32)
+            for i in range(b):
+                data.append((feats[i, :nf[i]], labels[i, :ll[i]]))
     return data, DEFAULT_ALPHABET
 
 

@@ -42,42 +42,52 @@ def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndar
 
 
 @functools.lru_cache(maxsize=8)
-def _dft_matrices(frame_length: int, n_fft: int) -> np.ndarray:
-    """Real-DFT as a matmul: window-length x 2*(n_fft//2+1) [cos | -sin].
+def _dft_conv_kernels(frame_length: int, n_fft: int) -> np.ndarray:
+    """Windowed real-DFT as conv kernels: [2*(n_fft//2+1), 1, frame_length].
 
-    On TPU the MXU computes an rFFT of these sizes faster than XLA's FFT
-    lowering, and the window fold + power stage fuse around one matmul
-    (BASELINE: "STFT/feature ... kernels at speed-of-light per chip").
+    Framing + Hann window + real DFT collapse into ONE strided convolution
+    (cos/-sin rows pre-multiplied by the window).  On TPU this is
+    MXU-shaped work with no gather — XLA's gather lowering for explicit
+    framing of long waveforms is pathologically slow to compile, and its
+    FFT lowering is off the MXU entirely (BASELINE: "STFT/feature ...
+    kernels at speed-of-light per chip").
     """
     n_bins = n_fft // 2 + 1
     n = np.arange(frame_length)[:, None]
     k = np.arange(n_bins)[None, :]
     ang = 2.0 * np.pi * n * k / n_fft
-    mat = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)
-    return mat.astype(np.float32)
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame_length)
+                             / frame_length)
+    mat = np.concatenate([np.cos(ang) * win[:, None],
+                          -np.sin(ang) * win[:, None]], axis=1)
+    return np.ascontiguousarray(mat.T[:, None, :]).astype(np.float32)
 
 
 def stft_power(x: jnp.ndarray, cfg: FrontendConfig,
                use_fft: bool = False) -> jnp.ndarray:
     """Power spectrogram ``[..., T, n_fft//2 + 1]`` of ``x [..., N]``.
 
-    Default path computes the real DFT as one MXU matmul against a
-    precomputed [frame_length, 2*bins] cos/-sin matrix (frame_length <=
-    n_fft makes zero-padding implicit); ``use_fft=True`` keeps the
-    ``jnp.fft.rfft`` lowering for cross-checking.
+    Default path: one strided convolution with windowed cos/-sin kernels
+    (see :func:`_dft_conv_kernels`); ``use_fft=True`` keeps the explicit
+    framing + ``jnp.fft.rfft`` lowering for cross-checking.
     """
-    frames = frame_signal(x, cfg.frame_length, cfg.hop_length)
-    frames = frames * hann_window(cfg.frame_length, frames.dtype)
     if use_fft:
+        frames = frame_signal(x, cfg.frame_length, cfg.hop_length)
+        frames = frames * hann_window(cfg.frame_length, frames.dtype)
         spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
         return jnp.square(spec.real) + jnp.square(spec.imag)
     if cfg.frame_length > cfg.n_fft:
         raise ValueError("frame_length > n_fft requires the fft path")
     n_bins = cfg.n_fft // 2 + 1
-    mat = jnp.asarray(_dft_matrices(cfg.frame_length, cfg.n_fft))
-    # f32 inputs: windowed audio needs more mantissa than bf16 carries.
-    ri = jnp.einsum("...tn,nk->...tk", frames, mat,
-                    preferred_element_type=jnp.float32)
+    kern = jnp.asarray(_dft_conv_kernels(cfg.frame_length, cfg.n_fft))
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, 1, x.shape[-1]))
+    ri = jax.lax.conv_general_dilated(
+        x2.astype(jnp.float32), kern, window_strides=(cfg.hop_length,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
+    ri = jnp.moveaxis(ri, 1, 2)                  # [B, T, 2*bins]
+    ri = ri.reshape(lead + ri.shape[1:])
     return jnp.square(ri[..., :n_bins]) + jnp.square(ri[..., n_bins:])
 
 
