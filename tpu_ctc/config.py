@@ -103,6 +103,12 @@ class MeshConfig:
     data: int = -1                 # -1: all remaining devices
     model: int = 1
     seq: int = 1
+    # Pipeline parallelism (SURVEY P3): when True, the 'model' axis carries
+    # GPipe-style pipeline STAGES of the BiRNN stack instead of tensor
+    # sharding; activations flow between stages via ppermute in
+    # ``pipeline_microbatches`` microbatches.
+    pipeline: bool = False
+    pipeline_microbatches: int = 4
 
 
 @dataclass(frozen=True)

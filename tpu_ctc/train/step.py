@@ -35,6 +35,9 @@ def create_train_state(cfg: Config, key: Optional[jax.Array] = None) -> TrainSta
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     params = birnn.init_params(key, cfg.model)
+    if cfg.mesh.pipeline:
+        from tpu_ctc.parallel.pipeline import stack_bi_params
+        params = stack_bi_params(params)
     tx = make_optimizer(cfg.optim)
     return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
 
@@ -92,8 +95,13 @@ def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
 
 def state_shardings(mesh: Mesh, cfg: Config, state: TrainState):
     """NamedSharding pytree for TrainState: params TP-sharded per
-    :func:`birnn.param_partition_specs`, optimizer state following params."""
-    pspecs = birnn.param_partition_specs(cfg.model)
+    :func:`birnn.param_partition_specs` (or PP-stacked per
+    :func:`pipeline.pp_param_specs`), optimizer state following params."""
+    if cfg.mesh.pipeline:
+        from tpu_ctc.parallel.pipeline import pp_param_specs
+        pspecs = pp_param_specs(cfg.model)
+    else:
+        pspecs = birnn.param_partition_specs(cfg.model)
 
     def to_sharding(spec):
         return NamedSharding(mesh, spec)
@@ -127,7 +135,16 @@ def make_train_step(cfg: Config, mesh: Mesh, state: TrainState):
     b_sh = batch_shardings(mesh)
     state = jax.device_put(state, st_sh)
     loss_closure = None
-    if _uses_sp(mesh):
+    if cfg.mesh.pipeline:
+        from tpu_ctc.parallel.mesh import AXIS_MODEL, AXIS_SEQ
+        if dict(mesh.shape).get(AXIS_SEQ, 1) > 1:
+            raise NotImplementedError(
+                "pipeline and seq parallelism cannot yet be combined")
+        if dict(mesh.shape).get(AXIS_MODEL, 1) < 2:
+            raise ValueError("mesh.pipeline requires model axis >= 2 stages")
+        from tpu_ctc.parallel.pipeline import make_pp_loss_fn
+        loss_closure, _, _ = make_pp_loss_fn(cfg, mesh)
+    elif _uses_sp(mesh):
         from tpu_ctc.parallel.mesh import AXIS_MODEL
         if dict(mesh.shape).get(AXIS_MODEL, 1) > 1:
             raise NotImplementedError(
