@@ -62,6 +62,14 @@ class ModelConfig:
     init_scale: float = 0.01       # reference-era scaled gaussian init
     # Rematerialize each BiRNN layer's scan to trade FLOPs for HBM.
     remat: bool = False
+    # Recurrence implementation: "scan" (XLA lax.scan), "pallas" (fused TPU
+    # kernel, tpu_ctc/ops/birnn_pallas.py), or "auto" (pallas on TPU).
+    # TP/SP/PP-sharded runs use the scan path (see train.step).
+    birnn_impl: str = "auto"
+    # HBM stream dtype for the fused kernel's z/h/g/delta tensors; ""
+    # follows compute_dtype.  "float32" costs ~15% step time for exact
+    # scan-parity gradients; matmul accumulation is float32 either way.
+    birnn_io_dtype: str = ""
 
 
 @dataclass(frozen=True)

@@ -139,8 +139,33 @@ def _recurrence(z: jnp.ndarray, w: jnp.ndarray, mask: jnp.ndarray,
     return hs
 
 
+def resolve_birnn_impl(cfg: ModelConfig) -> str:
+    """Resolve cfg.birnn_impl: 'auto' picks the fused Pallas recurrence
+    kernel on TPU (falling back to the XLA scan for widths whose weight
+    matrix exceeds the VMEM budget) and the scan elsewhere."""
+    impl = cfg.birnn_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl == "pallas":
+        from tpu_ctc.ops import birnn_pallas
+        if not birnn_pallas.supported(cfg.hidden_dim, cfg.compute_dtype):
+            impl = "scan"
+    if impl not in ("scan", "pallas"):
+        raise ValueError(f"unknown birnn impl {cfg.birnn_impl!r}")
+    return impl
+
+
 def _bi_layer(x, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
     z = _dense(x, layer, cfg, activate=False)   # shared input projection
+    if resolve_birnn_impl(cfg) == "pallas":
+        from tpu_ctc.ops import birnn_pallas
+        rec = functools.partial(birnn_pallas.bi_recurrence,
+                                clip=cfg.relu_clip,
+                                compute_dtype=cfg.compute_dtype,
+                                io_dtype=cfg.birnn_io_dtype or None)
+        if cfg.remat:
+            rec = jax.checkpoint(rec)
+        return rec(z, layer["wf"], layer["wb"], mask)
     rec = functools.partial(_recurrence, cfg=cfg)
     if cfg.remat:
         rec = jax.checkpoint(rec, static_argnums=(3,))

@@ -1,0 +1,282 @@
+"""Pallas TPU kernels for the fused BiRNN recurrence.
+
+BASELINE north_star: "cudamat RNN kernels become XLA scan/Pallas fused BiRNN
+layers".  Reference shape of the computation: SURVEY.md C4 / §3.1 — the
+per-layer recurrences  f_t = act(z_t + Wf f_{t-1}),  b_t = act(z_t + Wb
+b_{t+1})  that the reference ran as an interpreted Python loop over cudamat
+matmuls ("inner HOT LOOP, Python-interpreted per step").
+
+Division of labor with XLA (same doctrine as :mod:`tpu_ctc.ops.ctc_pallas`):
+
+  * The **kernels** implement only the intrinsically sequential sweeps.
+    Forward:  h_t = clip(z_t + h_{t-1} @ W) masked by frame length — one
+    [Bb, H] x [H, H] MXU matmul + VPU clip per step, with the carry living
+    in VMEM scratch across time-chunks of the same batch block and W
+    VMEM-resident for the whole sweep (the XLA `lax.scan` version re-enters
+    the HLO while-loop body every step, which is latency-bound at these
+    sizes).  Backward: the delta recursion
+        d_t = (g_t + d_next @ W^T) * 1{0 < h_t < clip}
+    — the hand-derived backprop the reference wrote by hand (SURVEY.md C4
+    "backprop hand-written"), here as the custom VJP of the fused op.
+
+  * **XLA** handles everything embarrassingly parallel around them: the
+    shared input projection z = x @ W_in + bias (a [B*T, D] MXU matmul,
+    outside the op), the weight gradients dW = sum_t h_{t-1}^T d_t (one big
+    [H, T*B] x [T*B, H] matmul over the stored states), and dz = d^f + d^b
+    flowing into the projection's autodiff.
+
+Data layout is time-major [T, B, H] inside the op (one XLA transpose each
+way at the boundary) so each per-step slab read/write is a contiguous
+untiled first-dim index.  Streams (z, h, g, d) use the model's compute
+dtype (bfloat16 by default) to halve HBM traffic; the recurrence carry and
+all matmul accumulations stay float32, so rounding does not compound across
+time steps.
+
+Frame masking is length-based: the kernel zeroes h_t for t >= length, which
+for the framework's trailing-padding masks is exactly the scan path's
+`h * mask` semantics (padded rows freeze at zero in both directions).
+
+On non-TPU backends the kernels run in Pallas interpret mode (CI-testable
+on CPU); :func:`supported` additionally gates widths whose weight matrix
+does not fit the VMEM budget (those fall back to the XLA scan).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Empirical usable VMEM on v5e is ~24-32 MB; leave headroom for Mosaic's own
+# allocations and the double-buffered block DMAs.
+_VMEM_BUDGET = 18 * 1024 * 1024
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def supported(hidden_dim: int, compute_dtype) -> bool:
+    """Whether the fused kernel applies: W (plus one stream chunk at the
+    minimum Tc) must fit the VMEM budget."""
+    h_pad = _round_up(hidden_dim, _LANE)
+    item = jnp.dtype(compute_dtype).itemsize
+    w_bytes = h_pad * h_pad * item
+    min_stream = 3 * 2 * 8 * 16 * h_pad * item   # 3 streams, 2 buffers, Tc=8, Bb=16
+    return w_bytes + min_stream + 4 * h_pad * 16 <= _VMEM_BUDGET
+
+
+def _plan(b_pad: int, h_pad: int, w_item: int, s_item: int, streams: int):
+    """Pick (Bb, Tc): batch rows per block and time steps per chunk so that
+    W + carry + `streams` double-buffered [Tc, Bb, H] chunks fit the budget."""
+    w_bytes = h_pad * h_pad * w_item
+    for bb in (128, 64, 32, 16):
+        if b_pad % bb:
+            continue
+        left = _VMEM_BUDGET - w_bytes - 4 * bb * h_pad  # minus f32 carry
+        tc = left // (2 * streams * bb * h_pad * s_item)
+        tc = min(128, (tc // 8) * 8)
+        if tc >= 8:
+            return bb, tc
+    return 8, 8
+
+
+# ---------------------------------------------------------------------------
+# Forward sweep:  h_t = clip(z_t + h_prev @ W) * 1{t < length}
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(z_ref, w_ref, len_ref, h_out_ref, carry, *,
+                reverse: bool, clip: float, tc: int):
+    ti = pl.program_id(1)
+    nt = pl.num_programs(1)
+    length = len_ref[:, 0:1]                       # [Bb, 1] f32
+
+    @pl.when(ti == 0)
+    def _():
+        carry[:, :] = jnp.zeros_like(carry[:, :])
+
+    def body(j, h):
+        i = tc - 1 - j if reverse else j
+        t = ((nt - 1 - ti) * tc + i) if reverse else (ti * tc + i)
+        a = z_ref[i].astype(jnp.float32) + jnp.dot(
+            h.astype(w_ref.dtype), w_ref[:, :],
+            preferred_element_type=jnp.float32)
+        h_new = jnp.clip(a, 0.0, clip)
+        h = jnp.where(t * 1.0 < length, h_new, 0.0)
+        h_out_ref[i] = h.astype(h_out_ref.dtype)
+        return h
+
+    carry[:, :] = jax.lax.fori_loop(0, tc, body, carry[:, :])
+
+
+def _run_fwd(z, w, lengths, *, reverse: bool, clip: float, bb: int, tc: int):
+    """z [T,B,H], w [H,H], lengths [B,128] f32 -> h [T,B,H] (z.dtype)."""
+    t, b, h = z.shape
+    nt = t // tc
+    idx = (lambda bi, ti: (nt - 1 - ti, bi, 0)) if reverse \
+        else (lambda bi, ti: (ti, bi, 0))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, reverse=reverse, clip=clip, tc=tc),
+        grid=(b // bb, nt),
+        in_specs=[
+            pl.BlockSpec((tc, bb, h), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, _LANE), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tc, bb, h), idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, h), z.dtype),
+        scratch_shapes=[pltpu.VMEM((bb, h), jnp.float32)],
+        interpret=_interpret(),
+    )(z, w, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Backward sweep:  d_t = (g_t + d_next @ W^T) * 1{0 < h_t < clip}
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(g_ref, hs_ref, wt_ref, d_out_ref, carry, *,
+                reverse: bool, clip: float, tc: int):
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        carry[:, :] = jnp.zeros_like(carry[:, :])
+
+    def body(j, d):
+        i = tc - 1 - j if reverse else j
+        hs_i = hs_ref[i].astype(jnp.float32)  # Mosaic: no bf16 compares
+        active = (hs_i > 0.0) & (hs_i < clip)
+        d_tot = g_ref[i].astype(jnp.float32) + jnp.dot(
+            d.astype(wt_ref.dtype), wt_ref[:, :],
+            preferred_element_type=jnp.float32)
+        d = jnp.where(active, d_tot, 0.0)
+        d_out_ref[i] = d.astype(d_out_ref.dtype)
+        return d
+
+    carry[:, :] = jax.lax.fori_loop(0, tc, body, carry[:, :])
+
+
+def _run_bwd(g, hs, wt, *, reverse: bool, clip: float, bb: int, tc: int):
+    t, b, h = g.shape
+    nt = t // tc
+    idx = (lambda bi, ti: (nt - 1 - ti, bi, 0)) if reverse \
+        else (lambda bi, ti: (ti, bi, 0))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, reverse=reverse, clip=clip, tc=tc),
+        grid=(b // bb, nt),
+        in_specs=[
+            pl.BlockSpec((tc, bb, h), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, bb, h), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tc, bb, h), idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, h), g.dtype),
+        scratch_shapes=[pltpu.VMEM((bb, h), jnp.float32)],
+        interpret=_interpret(),
+    )(g, hs, wt)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP fused bidirectional recurrence
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str):
+    cdt = jnp.dtype(cdt_name)      # matmul-input dtype (MXU)
+    io = jnp.dtype(io_name)        # HBM stream dtype for z/h/g/delta
+
+    def _pad_shapes(dims):
+        """(b_pad, t_pad, h_pad, bb, tc) — one plan (3-stream worst case,
+        the backward sweep) shared by both kernels so buffers line up."""
+        b, t, h = dims
+        b_pad = _round_up(b, 16)
+        h_pad = _round_up(h, _LANE)
+        bb, tc = _plan(b_pad, h_pad, cdt.itemsize, io.itemsize, streams=3)
+        tc = min(tc, _round_up(t, 8))
+        return b_pad, _round_up(t, tc), h_pad, bb, tc
+
+    def _prep(z, lengths):
+        """[B,T,H] f32 -> time-major padded [T',B',H'] stream + len tile."""
+        b, t, h = z.shape
+        b_pad, t_pad, h_pad = _pad_shapes(z.shape)[:3]
+        zp = jnp.pad(z, ((0, b_pad - b), (0, t_pad - t), (0, h_pad - h)))
+        z_t = jnp.moveaxis(zp, 1, 0).astype(io)
+        len_tile = jnp.broadcast_to(
+            jnp.pad(lengths.astype(jnp.float32), (0, b_pad - b))[:, None],
+            (b_pad, _LANE))
+        return z_t, len_tile
+
+    def _pad_w(w, h_pad):
+        h = w.shape[0]
+        return jnp.pad(w, ((0, h_pad - h), (0, h_pad - h))).astype(cdt)
+
+    @jax.custom_vjp
+    def bi_recurrence(z, wf, wb, lengths):
+        return _fwd(z, wf, wb, lengths)[0]
+
+    def _fwd(z, wf, wb, lengths):
+        b, t, h = z.shape
+        _, _, h_pad, bb, tc = _pad_shapes(z.shape)
+        z_t, len_tile = _prep(z, lengths)
+        hs_f = _run_fwd(z_t, _pad_w(wf, h_pad), len_tile,
+                        reverse=False, clip=clip, bb=bb, tc=tc)
+        hs_b = _run_fwd(z_t, _pad_w(wb, h_pad), len_tile,
+                        reverse=True, clip=clip, bb=bb, tc=tc)
+        out = (hs_f[:t, :b, :h].astype(jnp.float32)
+               + hs_b[:t, :b, :h].astype(jnp.float32))
+        return jnp.moveaxis(out, 0, 1), (hs_f, hs_b, wf, wb, (b, t, h))
+
+    def _bwd(res, g):
+        hs_f, hs_b, wf, wb, (b, t, h) = res
+        t_pad, b_pad, h_pad = hs_f.shape
+        gp = jnp.pad(jnp.moveaxis(g, 1, 0),
+                     ((0, t_pad - t), (0, b_pad - b), (0, h_pad - h))
+                     ).astype(io)
+        bb, tc = _pad_shapes((b, t, h))[3:]
+        # The forward-direction recurrence backpropagates right-to-left,
+        # the backward-direction one left-to-right.
+        d_f = _run_bwd(gp, hs_f, _pad_w(wf, h_pad).T, reverse=True,
+                       clip=clip, bb=bb, tc=tc)
+        d_b = _run_bwd(gp, hs_b, _pad_w(wb, h_pad).T, reverse=False,
+                       clip=clip, bb=bb, tc=tc)
+        dz = (d_f[:t, :b, :h].astype(jnp.float32)
+              + d_b[:t, :b, :h].astype(jnp.float32))
+        # dW = sum_t h_neighbour^T d_t — one big MXU matmul over T*B rows.
+        zeros = jnp.zeros((1,) + hs_f.shape[1:], hs_f.dtype)
+        h_prev_f = jnp.concatenate([zeros, hs_f[:-1]], axis=0)
+        h_next_b = jnp.concatenate([hs_b[1:], zeros], axis=0)
+        dwf = jnp.einsum("tbh,tbk->hk", h_prev_f, d_f,
+                         preferred_element_type=jnp.float32)[:h, :h]
+        dwb = jnp.einsum("tbh,tbk->hk", h_next_b, d_b,
+                         preferred_element_type=jnp.float32)[:h, :h]
+        return (jnp.moveaxis(dz, 0, 1), dwf.astype(wf.dtype),
+                dwb.astype(wb.dtype), jnp.zeros((b,), jnp.float32))
+
+    bi_recurrence.defvjp(_fwd, _bwd)
+    return bi_recurrence
+
+
+def bi_recurrence(z: jnp.ndarray, wf: jnp.ndarray, wb: jnp.ndarray,
+                  mask: jnp.ndarray, *, clip: float,
+                  compute_dtype, io_dtype=None) -> jnp.ndarray:
+    """Fused bidirectional clipped-ReLU recurrence.
+
+    z [B, T, H] float32 (shared input projection), wf/wb [H, H], mask [B, T]
+    with trailing padding -> f + b summed hidden sequences [B, T, H] float32.
+    Same contract as summing two :func:`tpu_ctc.models.birnn._recurrence`
+    calls.
+    """
+    lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
+    fn = _make_bi_recurrence(float(clip), jnp.dtype(compute_dtype).name,
+                             jnp.dtype(io_dtype or compute_dtype).name)
+    return fn(z.astype(jnp.float32), wf, wb, lengths)

@@ -79,6 +79,20 @@ def _uses_sp(mesh: Mesh) -> bool:
     return dict(mesh.shape).get(AXIS_SEQ, 1) > 1
 
 
+def resolve_cfg_for_mesh(cfg: Config, mesh: Mesh) -> Config:
+    """Force the scan recurrence under TP/SP/PP: the fused Pallas BiRNN op
+    is an opaque custom call GSPMD cannot partition over 'model'/'seq'."""
+    from tpu_ctc.parallel.mesh import AXIS_MODEL
+    sharded = (cfg.mesh.pipeline or _uses_sp(mesh)
+               or dict(mesh.shape).get(AXIS_MODEL, 1) > 1)
+    if not sharded or cfg.model.birnn_impl == "scan":
+        return cfg
+    if cfg.model.birnn_impl == "pallas":
+        raise ValueError("model.birnn_impl='pallas' is incompatible with "
+                         "model/seq/pipeline sharding; use 'auto' or 'scan'")
+    return cfg.override(**{"model.birnn_impl": "scan"})
+
+
 def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
     """Input shardings: batch over 'data'; with SP, frames over 'seq' too."""
     data = NamedSharding(mesh, P(AXIS_DATA))
@@ -130,6 +144,7 @@ def make_train_step(cfg: Config, mesh: Mesh, state: TrainState):
     shardings, and step_fn is a jit with explicit in/out shardings so the
     compiler lays out params for TP and inserts the DP gradient psum.
     """
+    cfg = resolve_cfg_for_mesh(cfg, mesh)
     tx = make_optimizer(cfg.optim)
     st_sh = state_shardings(mesh, cfg, state)
     b_sh = batch_shardings(mesh)
@@ -165,6 +180,7 @@ def make_eval_step(cfg: Config, mesh: Mesh):
     """jit'd eval: forward + greedy decode + on-device CER pieces."""
     from tpu_ctc.decode.greedy import collapse_ids
 
+    cfg = resolve_cfg_for_mesh(cfg, mesh)
     b_sh = batch_shardings(mesh)
 
     def eval_step(params, batch):
