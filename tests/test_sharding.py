@@ -85,6 +85,28 @@ class TestDataParallel:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestDataParallelPallas:
+    def test_dp8_pallas_kernels_match_single_device(self):
+        """The Pallas CTC + BiRNN ops are opaque to GSPMD; the shard_map DP
+        loss path (train.step.make_dp_loss_fn) runs them batch-sharded.
+        Interpret-mode kernels on the virtual mesh stand in for Mosaic."""
+        def pallas_cfg(mesh):
+            cfg = tiny_config(mesh)
+            return dataclasses.replace(
+                cfg, ctc_impl="pallas",
+                model=dataclasses.replace(cfg.model, birnn_impl="pallas"))
+
+        ref_state, ref_losses = run_steps(
+            pallas_cfg(MeshConfig(data=1, model=1, seq=1)), n_devices=1)
+        dp_state, dp_losses = run_steps(
+            pallas_cfg(MeshConfig(data=8, model=1, seq=1)))
+        np.testing.assert_allclose(ref_losses, dp_losses, rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(dp_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
 class TestTensorParallel:
     def test_tp4_matches_single_device(self):
         ref_state, ref_losses = run_steps(

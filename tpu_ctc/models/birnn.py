@@ -99,18 +99,11 @@ def _dense(x, layer, cfg: ModelConfig, activate: bool = True) -> jnp.ndarray:
     return clipped_relu(y, cfg.relu_clip) if activate else y
 
 
-def _recurrence_with_carry(z: jnp.ndarray, w: jnp.ndarray, mask: jnp.ndarray,
-                           reverse: bool, h0: jnp.ndarray, *,
-                           cfg: ModelConfig):
-    """h_t = act(z_t + W h_{t-1}) along time via ``lax.scan``, from carry h0.
-
-    Returns (hs [B, T, H], h_last [B, H]) where h_last is the state at the
-    chunk boundary (last frame fwd / first frame bwd) — the carry a
-    sequence-parallel neighbour chunk resumes from (SURVEY.md §2.2 P4).
-    """
+def _recurrence_tm(z_t: jnp.ndarray, w: jnp.ndarray, m_t: jnp.ndarray,
+                   reverse: bool, h0: jnp.ndarray, *, cfg: ModelConfig):
+    """Time-major core: z_t [T, B, H], m_t [T, B, 1] -> (hs [T, B, H],
+    h_last [B, H]) via ``lax.scan`` from carry h0."""
     cdt = jnp.dtype(cfg.compute_dtype)
-    z_t = jnp.moveaxis(z, 1, 0)                 # [T, B, H]
-    m_t = jnp.moveaxis(mask, 1, 0)[..., None]   # [T, B, 1]
     w_c = w.astype(cdt)                         # cast once, outside the scan
 
     def step(h_prev, inputs):
@@ -123,6 +116,22 @@ def _recurrence_with_carry(z: jnp.ndarray, w: jnp.ndarray, mask: jnp.ndarray,
         return h_new, h_new
 
     h_last, hs = jax.lax.scan(step, h0, (z_t, m_t), reverse=reverse)
+    return hs, h_last
+
+
+def _recurrence_with_carry(z: jnp.ndarray, w: jnp.ndarray, mask: jnp.ndarray,
+                           reverse: bool, h0: jnp.ndarray, *,
+                           cfg: ModelConfig):
+    """h_t = act(z_t + W h_{t-1}) along time via ``lax.scan``, from carry h0.
+
+    Batch-major wrapper: z [B, T, H], mask [B, T].  Returns (hs [B, T, H],
+    h_last [B, H]) where h_last is the state at the chunk boundary (last
+    frame fwd / first frame bwd) — the carry a sequence-parallel neighbour
+    chunk resumes from (SURVEY.md §2.2 P4).
+    """
+    z_t = jnp.moveaxis(z, 1, 0)                 # [T, B, H]
+    m_t = jnp.moveaxis(mask, 1, 0)[..., None]   # [T, B, 1]
+    hs, h_last = _recurrence_tm(z_t, w, m_t, reverse, h0, cfg=cfg)
     return jnp.moveaxis(hs, 0, 1), h_last       # [B, T, H], [B, H]
 
 
@@ -174,24 +183,52 @@ def _bi_layer(x, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
     return fwd + bwd
 
 
+def _bi_layer_tm(x_t, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
+    """Time-major bi layer: x_t [T, B, H], mask [B, T] -> [T, B, H]."""
+    z = _dense(x_t, layer, cfg, activate=False)
+    if resolve_birnn_impl(cfg) == "pallas":
+        from tpu_ctc.ops import birnn_pallas
+        rec = functools.partial(birnn_pallas.bi_recurrence,
+                                clip=cfg.relu_clip,
+                                compute_dtype=cfg.compute_dtype,
+                                io_dtype=cfg.birnn_io_dtype or None,
+                                time_major=True)
+        if cfg.remat:
+            rec = jax.checkpoint(rec)
+        return rec(z, layer["wf"], layer["wb"], mask)
+    m_t = jnp.moveaxis(mask, 1, 0)[..., None]
+    h0 = jnp.zeros((z.shape[1], z.shape[2]), dtype=jnp.float32)
+
+    def rec(z, w, m_t, reverse):
+        return _recurrence_tm(z, w, m_t, reverse, h0, cfg=cfg)[0]
+
+    if cfg.remat:
+        rec = jax.checkpoint(rec, static_argnums=(3,))
+    return rec(z, layer["wf"], m_t, False) + rec(z, layer["wb"], m_t, True)
+
+
 def forward(params: Params, cfg: ModelConfig, feats: jnp.ndarray,
             frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Acoustic model forward pass: [B, T, input_dim] → logits [B, T, vocab].
 
     Replaces the reference's ``costAndGrad`` forward (SURVEY.md §3.1) —
-    but batched, static-shape, and fully on-device under jit.
+    but batched, static-shape, and fully on-device under jit.  Internally
+    the stack runs TIME-MAJOR [T, B, H] — the layout both `lax.scan` and
+    the fused Pallas recurrence want — with one cheap transpose of the
+    small feats/logits tensors at each boundary, so no [B,T,H]-sized
+    transposes appear anywhere in the step.
     """
     if frame_mask is None:
         frame_mask = jnp.ones(feats.shape[:2], dtype=jnp.float32)
-    x = feats.astype(jnp.float32)
+    x = jnp.moveaxis(feats.astype(jnp.float32), 1, 0)   # [T, B, D]
     for layer in params["pre"]:
         x = _dense(x, layer, cfg)
     for layer in params["bi"]:
-        x = _bi_layer(x, layer, frame_mask, cfg)
+        x = _bi_layer_tm(x, layer, frame_mask, cfg)
     for layer in params["post"]:
         x = _dense(x, layer, cfg)
     logits = _dense(x, params["out"], cfg, activate=False)
-    return logits
+    return jnp.moveaxis(logits, 0, 1)                   # [B, T, vocab]
 
 
 def log_posteriors(params: Params, cfg: ModelConfig, feats, frame_mask=None):

@@ -191,9 +191,12 @@ def _run_bwd(g, hs, wt, *, reverse: bool, clip: float, bb: int, tc: int):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str):
+def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str,
+                        time_major: bool):
     cdt = jnp.dtype(cdt_name)      # matmul-input dtype (MXU)
     io = jnp.dtype(io_name)        # HBM stream dtype for z/h/g/delta
+    # time_major: z/out are [T, B, H] (no boundary transposes — the layout
+    # the kernels want); otherwise [B, T, H] with one moveaxis each way.
 
     def _pad_shapes(dims):
         """(b_pad, t_pad, h_pad, bb, tc) — one plan (3-stream worst case,
@@ -205,12 +208,20 @@ def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str):
         tc = min(tc, _round_up(t, 8))
         return b_pad, _round_up(t, tc), h_pad, bb, tc
 
+    def _dims(x):
+        """Logical (b, t, h) of a layout-dependent array."""
+        return (x.shape[1], x.shape[0], x.shape[2]) if time_major else x.shape
+
     def _prep(z, lengths):
-        """[B,T,H] f32 -> time-major padded [T',B',H'] stream + len tile."""
-        b, t, h = z.shape
-        b_pad, t_pad, h_pad = _pad_shapes(z.shape)[:3]
-        zp = jnp.pad(z, ((0, b_pad - b), (0, t_pad - t), (0, h_pad - h)))
-        z_t = jnp.moveaxis(zp, 1, 0).astype(io)
+        """Input stream -> time-major padded [T',B',H'] + length tile."""
+        b, t, h = _dims(z)
+        b_pad, t_pad, h_pad = _pad_shapes((b, t, h))[:3]
+        if time_major:
+            z_t = jnp.pad(z, ((0, t_pad - t), (0, b_pad - b),
+                              (0, h_pad - h))).astype(io)
+        else:
+            zp = jnp.pad(z, ((0, b_pad - b), (0, t_pad - t), (0, h_pad - h)))
+            z_t = jnp.moveaxis(zp, 1, 0).astype(io)
         len_tile = jnp.broadcast_to(
             jnp.pad(lengths.astype(jnp.float32), (0, b_pad - b))[:, None],
             (b_pad, _LANE))
@@ -225,8 +236,8 @@ def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str):
         return _fwd(z, wf, wb, lengths)[0]
 
     def _fwd(z, wf, wb, lengths):
-        b, t, h = z.shape
-        _, _, h_pad, bb, tc = _pad_shapes(z.shape)
+        b, t, h = _dims(z)
+        _, _, h_pad, bb, tc = _pad_shapes((b, t, h))
         z_t, len_tile = _prep(z, lengths)
         hs_f = _run_fwd(z_t, _pad_w(wf, h_pad), len_tile,
                         reverse=False, clip=clip, bb=bb, tc=tc)
@@ -234,13 +245,15 @@ def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str):
                         reverse=True, clip=clip, bb=bb, tc=tc)
         out = (hs_f[:t, :b, :h].astype(jnp.float32)
                + hs_b[:t, :b, :h].astype(jnp.float32))
-        return jnp.moveaxis(out, 0, 1), (hs_f, hs_b, wf, wb, (b, t, h))
+        if not time_major:
+            out = jnp.moveaxis(out, 0, 1)
+        return out, (hs_f, hs_b, wf, wb, (b, t, h))
 
     def _bwd(res, g):
         hs_f, hs_b, wf, wb, (b, t, h) = res
         t_pad, b_pad, h_pad = hs_f.shape
-        gp = jnp.pad(jnp.moveaxis(g, 1, 0),
-                     ((0, t_pad - t), (0, b_pad - b), (0, h_pad - h))
+        g_t = g if time_major else jnp.moveaxis(g, 1, 0)
+        gp = jnp.pad(g_t, ((0, t_pad - t), (0, b_pad - b), (0, h_pad - h))
                      ).astype(io)
         bb, tc = _pad_shapes((b, t, h))[3:]
         # The forward-direction recurrence backpropagates right-to-left,
@@ -259,7 +272,9 @@ def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str):
                          preferred_element_type=jnp.float32)[:h, :h]
         dwb = jnp.einsum("tbh,tbk->hk", h_next_b, d_b,
                          preferred_element_type=jnp.float32)[:h, :h]
-        return (jnp.moveaxis(dz, 0, 1), dwf.astype(wf.dtype),
+        if not time_major:
+            dz = jnp.moveaxis(dz, 0, 1)
+        return (dz, dwf.astype(wf.dtype),
                 dwb.astype(wb.dtype), jnp.zeros((b,), jnp.float32))
 
     bi_recurrence.defvjp(_fwd, _bwd)
@@ -267,16 +282,17 @@ def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str):
 
 
 def bi_recurrence(z: jnp.ndarray, wf: jnp.ndarray, wb: jnp.ndarray,
-                  mask: jnp.ndarray, *, clip: float,
-                  compute_dtype, io_dtype=None) -> jnp.ndarray:
+                  mask: jnp.ndarray, *, clip: float, compute_dtype,
+                  io_dtype=None, time_major: bool = False) -> jnp.ndarray:
     """Fused bidirectional clipped-ReLU recurrence.
 
-    z [B, T, H] float32 (shared input projection), wf/wb [H, H], mask [B, T]
-    with trailing padding -> f + b summed hidden sequences [B, T, H] float32.
-    Same contract as summing two :func:`tpu_ctc.models.birnn._recurrence`
-    calls.
+    z [B, T, H] float32 (shared input projection; [T, B, H] when
+    ``time_major``), wf/wb [H, H], mask [B, T] with trailing padding ->
+    f + b summed hidden sequences in z's layout, float32.  Same contract as
+    summing two :func:`tpu_ctc.models.birnn._recurrence` calls.
     """
     lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
     fn = _make_bi_recurrence(float(clip), jnp.dtype(compute_dtype).name,
-                             jnp.dtype(io_dtype or compute_dtype).name)
+                             jnp.dtype(io_dtype or compute_dtype).name,
+                             bool(time_major))
     return fn(z.astype(jnp.float32), wf, wb, lengths)

@@ -93,6 +93,44 @@ def resolve_cfg_for_mesh(cfg: Config, mesh: Mesh) -> Config:
     return cfg.override(**{"model.birnn_impl": "scan"})
 
 
+def make_dp_loss_fn(cfg: Config, mesh: Mesh):
+    """Pure-DP loss under ``jax.shard_map`` over the 'data' axis.
+
+    GSPMD cannot partition the Pallas CTC / BiRNN custom calls — under a
+    plain jit they would be replicated (every chip recomputing the full
+    batch).  shard_map runs the per-shard loss with local batch slices and
+    two scalar psums for the weighted mean; param cotangents are psum'd
+    over 'data' by shard_map's transpose rule — the same gradient allreduce
+    over ICI that GSPMD inserts for the scan path (SURVEY.md §2.2 P1).
+    """
+    from tpu_ctc.parallel.mesh import AXIS_DATA
+
+    batch_specs = {
+        "feats": P(AXIS_DATA), "frame_mask": P(AXIS_DATA),
+        "frame_lengths": P(AXIS_DATA), "labels": P(AXIS_DATA),
+        "label_lengths": P(AXIS_DATA), "weights": P(AXIS_DATA),
+    }
+
+    def local_loss(params, batch):
+        logits = birnn.forward(params, cfg.model, batch["feats"],
+                               batch["frame_mask"])
+        nll = ctc.ctc_loss(logits, batch["labels"], batch["frame_lengths"],
+                           batch["label_lengths"], impl=cfg.ctc_impl)
+        w = batch["weights"]
+        num = jax.lax.psum(jnp.sum(nll * w), AXIS_DATA)
+        denom = jnp.maximum(jax.lax.psum(jnp.sum(w), AXIS_DATA), 1.0)
+        frames = jnp.maximum(
+            jax.lax.psum(jnp.sum(batch["frame_lengths"] * w), AXIS_DATA), 1.0)
+        loss = num / denom
+        metrics = {"loss": loss, "loss_per_frame": num / frames,
+                   "num_utts": denom, "num_frames": frames}
+        return loss, metrics
+
+    return jax.shard_map(local_loss, mesh=mesh,
+                         in_specs=(P(), batch_specs),
+                         out_specs=(P(), P()), check_vma=False)
+
+
 def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
     """Input shardings: batch over 'data'; with SP, frames over 'seq' too."""
     data = NamedSharding(mesh, P(AXIS_DATA))
@@ -166,6 +204,11 @@ def make_train_step(cfg: Config, mesh: Mesh, state: TrainState):
                 "seq and model parallelism cannot yet be combined")
         from tpu_ctc.parallel.seq_parallel import make_sp_loss_fn
         loss_closure, _ = make_sp_loss_fn(cfg, mesh)
+    else:
+        from tpu_ctc.parallel.mesh import AXIS_DATA, AXIS_MODEL
+        shape = dict(mesh.shape)
+        if shape.get(AXIS_DATA, 1) > 1 and shape.get(AXIS_MODEL, 1) == 1:
+            loss_closure = make_dp_loss_fn(cfg, mesh)
     fn = jax.jit(
         functools.partial(train_step, cfg=cfg, tx=tx,
                           loss_closure=loss_closure),
