@@ -8,7 +8,7 @@ program, sequential in t, parallel in s (S = 2L+1 blank-augmented states).
 Design (division of labor with XLA):
 
   * The **kernels** implement only the intrinsically sequential recursions
-    (alpha forward, beta backward) on [8, Tc, S_pad] VMEM tiles: per time
+    (alpha forward, beta backward) on [Bb, Tc, S_pad] VMEM tiles: per time
     step, two lane-rolls, a 3-way log-sum-exp, and an add — pure VPU work.
     The grid is (B/8, T/Tc); TPU grids execute sequentially, so the alpha
     (resp. beta) carry lives in VMEM scratch across time-chunks of the same
@@ -54,8 +54,16 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_ctc.losses.ctc_ref import NEG_INF, extend_labels
 
 _LOG_FLOOR = 1e-37
-_BB = 8          # batch rows per grid block (f32 sublane tile)
-_TC = 128        # time steps per grid block
+
+
+def _plan(b_pad: int, s: int):
+    """(BB, TC): batch rows / time steps per grid block.  Wide batch blocks
+    feed the 8x128 VPU many rows per loop iteration (1.9x over BB=8 on
+    v5e); TC bounds the four double-buffered [BB, TC, S] tiles to ~8 MB of
+    the 16 MB scoped VMEM."""
+    bb = next(x for x in (64, 32, 16, 8) if b_pad % x == 0)
+    tc = (8 * 1024 * 1024) // (4 * bb * s * 4)
+    return bb, max(8, min(64, tc // 8 * 8))
 
 
 def _interpret() -> bool:
@@ -100,15 +108,16 @@ def _shift_lanes_neg(x, shift):
 def _alpha_kernel(emit_ref, skip_ref, init_ref, len_ref,
                   alpha_out_ref, alpha_scratch):
     ti = pl.program_id(1)
+    tc = emit_ref.shape[1]
     skip = skip_ref[:, :] > 0.0
-    length = len_ref[:, 0:1]                      # [8, 1] f32, static load
+    length = len_ref[:, 0:1]                      # [BB, 1] f32, static load
 
     @pl.when(ti == 0)
     def _():
         alpha_scratch[:, :] = jnp.full_like(alpha_scratch[:, :], NEG_INF)
 
     def body(i, alpha):
-        t = ti * _TC + i
+        t = ti * tc + i
         emit_row = emit_ref[:, i, :]
         s1 = _shift_lanes(alpha, 1)
         s2 = jnp.where(skip, _shift_lanes(alpha, 2), NEG_INF)
@@ -122,27 +131,27 @@ def _alpha_kernel(emit_ref, skip_ref, init_ref, len_ref,
         0, emit_ref.shape[1], body, alpha_scratch[:, :])
 
 
-def _run_alpha(emit, skip, init, lengths):
+def _run_alpha(emit, skip, init, lengths, bb, tc):
     """emit [B,T,S], skip/init [B,S], lengths [B,128] -> alpha_out [B,T,S]."""
     b, t, s = emit.shape
-    grid = (b // _BB, t // _TC)
+    grid = (b // bb, t // tc)
     return pl.pallas_call(
         _alpha_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_BB, _TC, s), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((bb, tc, s), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, s), lambda bi, ti: (bi, 0),
+            pl.BlockSpec((bb, s), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, s), lambda bi, ti: (bi, 0),
+            pl.BlockSpec((bb, s), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, 128), lambda bi, ti: (bi, 0),
+            pl.BlockSpec((bb, 128), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BB, _TC, s), lambda bi, ti: (bi, ti, 0),
+        out_specs=pl.BlockSpec((bb, tc, s), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, s), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_BB, s), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bb, s), jnp.float32)],
         interpret=_interpret(),
     )(emit, skip, init, lengths)
 
@@ -165,7 +174,7 @@ def _beta_kernel(emit_ref, skip2_ref, final_ref, len_ref,
 
     def body(j, be_next):
         i = tc - 1 - j                            # reverse within the chunk
-        t = (nt - 1 - ti) * _TC + i               # global time (chunks reversed)
+        t = (nt - 1 - ti) * tc + i                # global time (chunks reversed)
         emit_row = emit_ref[:, i, :]
         s1 = _shift_lanes_neg(be_next, 1)
         s2 = jnp.where(skip2, _shift_lanes_neg(be_next, 2), NEG_INF)
@@ -178,26 +187,26 @@ def _beta_kernel(emit_ref, skip2_ref, final_ref, len_ref,
     be_scratch[:, :] = jax.lax.fori_loop(0, tc, body, be_scratch[:, :])
 
 
-def _run_beta(emit, skip2, final, lengths):
+def _run_beta(emit, skip2, final, lengths, bb, tc):
     b, t, s = emit.shape
-    nt = t // _TC
-    grid = (b // _BB, nt)
+    nt = t // tc
+    grid = (b // bb, nt)
     rev = lambda bi, ti: (bi, nt - 1 - ti, 0)
     return pl.pallas_call(
         _beta_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_BB, _TC, s), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, s), lambda bi, ti: (bi, 0),
+            pl.BlockSpec((bb, tc, s), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, s), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, s), lambda bi, ti: (bi, 0),
+            pl.BlockSpec((bb, s), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BB, 128), lambda bi, ti: (bi, 0),
+            pl.BlockSpec((bb, 128), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BB, _TC, s), rev, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, tc, s), rev, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, s), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_BB, s), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bb, s), jnp.float32)],
         interpret=_interpret(),
     )(emit, skip2, final, lengths)
 
@@ -213,7 +222,8 @@ def _ctc_dp(emit, skip, skip2, init, final, lengths):
 
 
 def _ctc_dp_fwd(emit, skip, skip2, init, final, lengths):
-    alpha = _run_alpha(emit, skip, init, lengths)
+    bb, tc = _plan(emit.shape[0], emit.shape[2])
+    alpha = _run_alpha(emit, skip, init, lengths, bb, tc)
     # Frozen final alpha + additive final-state mask -> per-row log P.
     a_last = alpha[:, -1, :] + final
     m = jnp.max(a_last, axis=1)
@@ -227,7 +237,8 @@ def _ctc_dp_fwd(emit, skip, skip2, init, final, lengths):
 
 def _ctc_dp_bwd(res, g):
     emit, skip2, final, lengths, alpha, nll = res
-    beta = _run_beta(emit, skip2, final, lengths)
+    bb, tc = _plan(emit.shape[0], emit.shape[2])
+    beta = _run_beta(emit, skip2, final, lengths, bb, tc)
     # gamma[b,t,s] = exp(alpha + beta - logP); d nll/d emit = -gamma.
     log_gamma = alpha + beta + nll[:, None, None]
     gamma = jnp.where(log_gamma > NEG_INF / 2, jnp.exp(log_gamma), 0.0)
@@ -261,8 +272,9 @@ def ctc_loss_from_log_probs(log_probs: jnp.ndarray,
     ext, allow_skip = extend_labels(labels, blank)            # [B, S0]
     s0 = ext.shape[1]
     s = _round_up(max(s0, 128), 128)
-    b_pad = _round_up(b, _BB)
-    t_pad = _round_up(t, _TC)
+    bb, tc = _plan(_round_up(b, 8), s)
+    b_pad = _round_up(b, bb)
+    t_pad = _round_up(t, tc)
 
     lengths = logit_lengths.astype(jnp.int32)
     lab_len = label_lengths.astype(jnp.int32)
