@@ -49,9 +49,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Empirical usable VMEM on v5e is ~24-32 MB; leave headroom for Mosaic's own
-# allocations and the double-buffered block DMAs.
-_VMEM_BUDGET = 18 * 1024 * 1024
+# v5e has 128 MB of VMEM; Mosaic's scoped limit defaults to 16 MB, so the
+# kernels raise it explicitly (CompilerParams) and budget ~80 MB for W +
+# carry + the double-buffered stream chunks, leaving headroom for Mosaic's
+# own allocations.
+_VMEM_BUDGET = 80 * 1024 * 1024
+_VMEM_LIMIT = 110 * 1024 * 1024
+_MAX_TC = 16   # cap time-chunk: T pads to a multiple of tc (wasted frames),
+               # and bucket lengths are multiples of 16; tc=16 beat tc=8/24/32
 _LANE = 128
 
 
@@ -82,7 +87,7 @@ def _plan(b_pad: int, h_pad: int, w_item: int, s_item: int, streams: int):
             continue
         left = _VMEM_BUDGET - w_bytes - 4 * bb * h_pad  # minus f32 carry
         tc = left // (2 * streams * bb * h_pad * s_item)
-        tc = min(128, (tc // 8) * 8)
+        tc = min(_MAX_TC, (tc // 8) * 8)
         if tc >= 8:
             return bb, tc
     return 8, 8
@@ -135,6 +140,7 @@ def _run_fwd(z, w, lengths, *, reverse: bool, clip: float, bb: int, tc: int):
         out_specs=pl.BlockSpec((tc, bb, h), idx, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, b, h), z.dtype),
         scratch_shapes=[pltpu.VMEM((bb, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(z, w, lengths)
 
@@ -182,6 +188,7 @@ def _run_bwd(g, hs, wt, *, reverse: bool, clip: float, bb: int, tc: int):
         out_specs=pl.BlockSpec((tc, bb, h), idx, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, b, h), g.dtype),
         scratch_shapes=[pltpu.VMEM((bb, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(g, hs, wt)
 

@@ -56,13 +56,16 @@ from tpu_ctc.losses.ctc_ref import NEG_INF, extend_labels
 _LOG_FLOOR = 1e-37
 
 
+_VMEM_LIMIT = 110 * 1024 * 1024    # v5e has 128 MB; Mosaic defaults to 16
+
+
 def _plan(b_pad: int, s: int):
     """(BB, TC): batch rows / time steps per grid block.  Wide batch blocks
     feed the 8x128 VPU many rows per loop iteration (1.9x over BB=8 on
-    v5e); TC bounds the four double-buffered [BB, TC, S] tiles to ~8 MB of
-    the 16 MB scoped VMEM."""
-    bb = next(x for x in (64, 32, 16, 8) if b_pad % x == 0)
-    tc = (8 * 1024 * 1024) // (4 * bb * s * 4)
+    v5e); TC bounds the four double-buffered [BB, TC, S] tiles to ~24 MB
+    of VMEM (the calls raise Mosaic's 16 MB scoped default)."""
+    bb = next(x for x in (128, 64, 32, 16, 8) if b_pad % x == 0)
+    tc = (24 * 1024 * 1024) // (4 * bb * s * 4)
     return bb, max(8, min(64, tc // 8 * 8))
 
 
@@ -152,6 +155,7 @@ def _run_alpha(emit, skip, init, lengths, bb, tc):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, s), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bb, s), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(emit, skip, init, lengths)
 
@@ -207,6 +211,7 @@ def _run_beta(emit, skip2, final, lengths, bb, tc):
         out_specs=pl.BlockSpec((bb, tc, s), rev, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, s), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bb, s), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(emit, skip2, final, lengths)
 
