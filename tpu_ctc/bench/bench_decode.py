@@ -1,0 +1,104 @@
+"""Decode benchmark: batched on-device prefix beam search vs host decoders.
+
+Reference decode path (SURVEY.md §3.3): per-utterance Cython beam search on
+CPU after copying posteriors off-device — the design BASELINE replaces with
+"a batched on-device collective decode".  This benchmark measures the three
+implementations on identical posteriors:
+
+  * device  — :func:`tpu_ctc.decode.beam.prefix_beam_search` (fixed-shape
+              beam tensors, one jit program, batch decoded in one launch)
+  * cpp     — the native host decoder (``cpp/ctc_beam.cpp`` via ctypes),
+              standing in for the reference's compiled Cython decoder
+  * host_py — the dict-based Python reference (the reference's pure-Python
+              decoder role)
+
+Prints ONE JSON line: decode audio-s/s on device, with ``vs_baseline`` =
+speedup over the compiled host decoder.
+
+Run: python -m tpu_ctc.bench.bench_decode [--batch 32 --frames 400 --beam 64]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+FRAMES_PER_SECOND = 100.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--frames", type=int, default=400)
+    p.add_argument("--beam", type=int, default=64)
+    p.add_argument("--vocab", type=int, default=29)
+    p.add_argument("--max-len", type=int, default=64)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--host-utts", type=int, default=4,
+                   help="utterances to run through each host decoder")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from tpu_ctc.decode.beam import prefix_beam_search, prefix_beam_search_host
+    from tpu_ctc.decode import cpp_decoder
+
+    rng = np.random.RandomState(0)
+    lp_np = np.asarray(
+        jax.nn.log_softmax(jnp.asarray(
+            rng.randn(args.batch, args.frames, args.vocab).astype(np.float32)),
+            -1))
+    lp = jnp.asarray(lp_np)
+    fl = jnp.full((args.batch,), args.frames, jnp.int32)
+    audio_s = args.batch * args.frames / FRAMES_PER_SECOND
+
+    f = jax.jit(lambda x, l: prefix_beam_search(
+        x, l, beam_width=args.beam, max_len=args.max_len))
+    out = f(lp, fl)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = f(lp, fl)
+    jax.block_until_ready(out)
+    dev_s = (time.time() - t0) / args.iters
+    dev_thr = audio_s / dev_s
+    log(f"[decode-bench] device: {dev_s*1e3:.2f} ms/batch "
+        f"({args.batch} utts x {args.frames} frames, K={args.beam}) "
+        f"-> {dev_thr:,.0f} audio-s/s")
+
+    n = min(args.host_utts, args.batch)
+    cpp_thr = None
+    if cpp_decoder.available() or cpp_decoder.build():
+        t0 = time.time()
+        cpp_decoder.beam_search_batch(
+            lp_np[:n], np.full(n, args.frames, np.int32),
+            beam_width=args.beam, max_len=args.max_len)
+        cpp_s = (time.time() - t0) / n
+        cpp_thr = (args.frames / FRAMES_PER_SECOND) / cpp_s
+        log(f"[decode-bench] cpp host: {cpp_s*1e3:.1f} ms/utt "
+            f"-> {cpp_thr:,.0f} audio-s/s")
+
+    t0 = time.time()
+    for i in range(min(2, n)):
+        prefix_beam_search_host(lp_np[i], beam_width=args.beam)
+    py_s = (time.time() - t0) / min(2, n)
+    log(f"[decode-bench] python host: {py_s*1e3:.1f} ms/utt "
+        f"-> {(args.frames/FRAMES_PER_SECOND)/py_s:,.0f} audio-s/s")
+
+    print(json.dumps({
+        "metric": "decode_throughput",
+        "value": round(dev_thr, 1),
+        "unit": "audio_seconds_per_second_per_chip",
+        "vs_baseline": round(dev_thr / cpp_thr, 2) if cpp_thr else None,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

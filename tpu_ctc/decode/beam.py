@@ -206,30 +206,28 @@ def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
         s_h1, s_h2, s_pb, s_pnb, s_parent, s_ext = jax.lax.sort(
             flat, num_keys=2)
 
-        first = jnp.concatenate([
-            jnp.ones((1,), bool),
-            (s_h1[1:] != s_h1[:-1]) | (s_h2[1:] != s_h2[:-1])])
-        seg = jnp.cumsum(first.astype(jnp.int32)) - 1          # [N]
-
-        def seg_lse(vals):
-            m = jax.ops.segment_max(vals, seg, num_segments=n)
-            m_at = jnp.maximum(m[seg], NEG_INF / 2)
-            s = jax.ops.segment_sum(jnp.exp(vals - m_at), seg,
-                                    num_segments=n)
-            out = jnp.maximum(m, NEG_INF / 2) + jnp.log(s + 1e-37)
-            return jnp.where(m > NEG_INF / 2, out, NEG_INF)
-
-        m_pb = seg_lse(s_pb)                                   # [N] per segment
-        m_pnb = seg_lse(s_pnb)
-        seg_score = _lse2(m_pb, m_pnb)
-        # score lives at the first element of each segment
-        elem_score = jnp.where(first, seg_score[seg], NEG_INF)
+        # A merged segment has AT MOST TWO members: string equality
+        # p+c == q forces (p, c) unique, so an extension candidate can
+        # only collide with the stay candidate of the equal-string beam
+        # (beam prefixes are pairwise distinct by the top-k dedupe
+        # invariant).  Adjacent-neighbour merging is therefore exact and
+        # stays elementwise — no segment scatter/gather (which serialize
+        # on TPU: they were ~95% of decode wall-clock).
+        same_prev = jnp.concatenate([
+            jnp.zeros((1,), bool),
+            (s_h1[1:] == s_h1[:-1]) & (s_h2[1:] == s_h2[:-1])])
+        first = ~same_prev
+        nxt = lambda x: jnp.concatenate([x[1:], jnp.full((1,), NEG_INF)])
+        m_pb = _lse2(s_pb, jnp.where(nxt(same_prev.astype(jnp.float32)) > 0,
+                                     nxt(s_pb), NEG_INF))
+        m_pnb = _lse2(s_pnb, jnp.where(nxt(same_prev.astype(jnp.float32)) > 0,
+                                       nxt(s_pnb), NEG_INF))
+        elem_score = jnp.where(first, _lse2(m_pb, m_pnb), NEG_INF)
 
         # ---- top-K segments ------------------------------------------
         top_score, top_idx = jax.lax.top_k(elem_score, k)
-        t_seg = seg[top_idx]
-        n_pb = m_pb[t_seg]
-        n_pnb = m_pnb[t_seg]
+        n_pb = m_pb[top_idx]
+        n_pnb = m_pnb[top_idx]
         t_parent = s_parent[top_idx]
         t_ext = s_ext[top_idx]
 
