@@ -81,6 +81,21 @@ class TestDeviceVsHost:
         assert d_best == h_best, (d_best, h_best)
         np.testing.assert_allclose(float(scores[0]), h_score, rtol=1e-4)
 
+    @pytest.mark.parametrize("t,a,k", [(8, 4, 16), (10, 3, 32), (6, 4, 64)])
+    def test_parity_beam_exceeds_live_prefixes(self, rng, t, a, k):
+        """K larger than the number of distinct candidate strings: top_k
+        must fill slots with DEAD beams, not finite-scored second members
+        of merged segments (which would duplicate a live prefix and
+        double-count / drop its mass at later frames)."""
+        log_probs = np_log_softmax(rng.randn(t, a) * 1.5)
+        h_best, h_score = prefix_beam_search_host(log_probs, beam_width=k)
+        hyps, lens, scores = prefix_beam_search(
+            jnp.asarray(log_probs[None].astype(np.float32)),
+            jnp.array([t]), beam_width=k, max_len=t)
+        d_best = list(np.asarray(hyps[0])[: int(lens[0])])
+        assert d_best == h_best, (d_best, h_best)
+        np.testing.assert_allclose(float(scores[0]), h_score, rtol=1e-4)
+
     def test_parity_batched(self, rng):
         b, t, a, k = 4, 10, 5, 8
         logits = rng.randn(b, t, a).astype(np.float32) * 1.5

@@ -75,22 +75,28 @@ def main():
 
     n = min(args.host_utts, args.batch)
     cpp_thr = None
-    if cpp_decoder.available() or cpp_decoder.build():
+    if n > 0 and (cpp_decoder.available() or cpp_decoder.build()):
+        lens = np.full(n, args.frames, np.int32)
+        # warmup (ctypes dispatch, page-in) so host and device timing are
+        # measured the same way
+        cpp_decoder.beam_search_batch(lp_np[:1], lens[:1],
+                                      beam_width=args.beam,
+                                      max_len=args.max_len)
         t0 = time.time()
-        cpp_decoder.beam_search_batch(
-            lp_np[:n], np.full(n, args.frames, np.int32),
-            beam_width=args.beam, max_len=args.max_len)
+        cpp_decoder.beam_search_batch(lp_np[:n], lens, beam_width=args.beam,
+                                      max_len=args.max_len)
         cpp_s = (time.time() - t0) / n
         cpp_thr = (args.frames / FRAMES_PER_SECOND) / cpp_s
         log(f"[decode-bench] cpp host: {cpp_s*1e3:.1f} ms/utt "
             f"-> {cpp_thr:,.0f} audio-s/s")
 
-    t0 = time.time()
-    for i in range(min(2, n)):
-        prefix_beam_search_host(lp_np[i], beam_width=args.beam)
-    py_s = (time.time() - t0) / min(2, n)
-    log(f"[decode-bench] python host: {py_s*1e3:.1f} ms/utt "
-        f"-> {(args.frames/FRAMES_PER_SECOND)/py_s:,.0f} audio-s/s")
+    if n > 0:
+        t0 = time.time()
+        for i in range(min(2, n)):
+            prefix_beam_search_host(lp_np[i], beam_width=args.beam)
+        py_s = (time.time() - t0) / min(2, n)
+        log(f"[decode-bench] python host: {py_s*1e3:.1f} ms/utt "
+            f"-> {(args.frames/FRAMES_PER_SECOND)/py_s:,.0f} audio-s/s")
 
     print(json.dumps({
         "metric": "decode_throughput",

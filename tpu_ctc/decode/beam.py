@@ -225,9 +225,16 @@ def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
         elem_score = jnp.where(first, _lse2(m_pb, m_pnb), NEG_INF)
 
         # ---- top-K segments ------------------------------------------
+        # When fewer than K live segments exist, top_k fills slots from
+        # the NEG_INF ties — which may be second members of merged pairs
+        # still carrying finite (pb, pnb).  Kill fillers explicitly:
+        # NEG_INF mass and a unique per-slot hash (the init convention),
+        # otherwise a filler duplicates a live prefix and its mass is
+        # double-counted / dropped by the pairwise merge at later frames.
         top_score, top_idx = jax.lax.top_k(elem_score, k)
-        n_pb = m_pb[top_idx]
-        n_pnb = m_pnb[top_idx]
+        dead = top_score < NEG_INF / 2
+        n_pb = jnp.where(dead, NEG_INF, m_pb[top_idx])
+        n_pnb = jnp.where(dead, NEG_INF, m_pnb[top_idx])
         t_parent = s_parent[top_idx]
         t_ext = s_ext[top_idx]
 
@@ -243,8 +250,8 @@ def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
         n_last = jnp.where(extend, t_ext, state["last"][t_parent])
         n_last2 = jnp.where(extend, state["last"][t_parent],
                             state["last2"][t_parent])
-        n_h1 = s_h1[top_idx]
-        n_h2 = s_h2[top_idx]
+        n_h1 = jnp.where(dead, beam_ids + 1, s_h1[top_idx])
+        n_h2 = jnp.where(dead, beam_ids + 1, s_h2[top_idx])
 
         new_state = {"buf": n_buf, "plen": n_plen, "last": n_last,
                      "last2": n_last2, "h1": n_h1, "h2": n_h2,

@@ -56,5 +56,14 @@ def make_collective_decoder(cfg: Config, mesh: Mesh,
             hyps, lens = collapse_ids(ids, batch["frame_mask"])
         return hyps, lens
 
-    return jax.jit(decode, in_shardings=(repl, b_sh),
+    fn = decode
+    if dict(mesh.shape).get(AXIS_DATA, 1) > 1:
+        # shard_map so the Pallas BiRNN forward (opaque to GSPMD) runs
+        # batch-sharded; the replicated out_shardings below then make XLA
+        # all_gather each shard's hypotheses across the mesh.
+        b_specs = {k: P(AXIS_DATA) for k in b_sh}
+        fn = jax.shard_map(decode, mesh=mesh, in_specs=(P(), b_specs),
+                           out_specs=P(AXIS_DATA), check_vma=False)
+
+    return jax.jit(fn, in_shardings=(repl, b_sh),
                    out_shardings=(repl, repl))

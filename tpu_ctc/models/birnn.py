@@ -165,22 +165,9 @@ def resolve_birnn_impl(cfg: ModelConfig) -> str:
 
 
 def _bi_layer(x, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
-    z = _dense(x, layer, cfg, activate=False)   # shared input projection
-    if resolve_birnn_impl(cfg) == "pallas":
-        from tpu_ctc.ops import birnn_pallas
-        rec = functools.partial(birnn_pallas.bi_recurrence,
-                                clip=cfg.relu_clip,
-                                compute_dtype=cfg.compute_dtype,
-                                io_dtype=cfg.birnn_io_dtype or None)
-        if cfg.remat:
-            rec = jax.checkpoint(rec)
-        return rec(z, layer["wf"], layer["wb"], mask)
-    rec = functools.partial(_recurrence, cfg=cfg)
-    if cfg.remat:
-        rec = jax.checkpoint(rec, static_argnums=(3,))
-    fwd = rec(z, layer["wf"], mask, False)
-    bwd = rec(z, layer["wb"], mask, True)
-    return fwd + bwd
+    """Batch-major wrapper ([B, T, H] in/out) around :func:`_bi_layer_tm`."""
+    x_t = jnp.moveaxis(x, 1, 0)
+    return jnp.moveaxis(_bi_layer_tm(x_t, layer, mask, cfg), 0, 1)
 
 
 def _bi_layer_tm(x_t, layer, mask, cfg: ModelConfig) -> jnp.ndarray:

@@ -42,20 +42,27 @@ def create_train_state(cfg: Config, key: Optional[jax.Array] = None) -> TrainSta
     return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
 
 
-def loss_fn(params, cfg: Config, batch: Dict[str, jnp.ndarray]):
-    """Weighted-mean per-utterance CTC NLL plus metrics."""
+def loss_fn(params, cfg: Config, batch: Dict[str, jnp.ndarray],
+            reduce=lambda x: x):
+    """Weighted-mean per-utterance CTC NLL plus metrics.
+
+    ``reduce`` turns local sums into global ones — identity under plain
+    jit/GSPMD, a 'data'-axis psum inside the shard_map DP path (so both
+    paths share one loss/metrics definition).
+    """
     logits = birnn.forward(params, cfg.model, batch["feats"],
                            batch["frame_mask"])
     nll = ctc.ctc_loss(logits, batch["labels"], batch["frame_lengths"],
                        batch["label_lengths"], impl=cfg.ctc_impl)
     w = batch["weights"]
-    denom = jnp.maximum(jnp.sum(w), 1.0)
-    loss = jnp.sum(nll * w) / denom
-    frames = jnp.maximum(jnp.sum(batch["frame_lengths"] * w), 1.0)
+    num = reduce(jnp.sum(nll * w))
+    utts = reduce(jnp.sum(w))
+    frames = jnp.maximum(reduce(jnp.sum(batch["frame_lengths"] * w)), 1.0)
+    loss = num / jnp.maximum(utts, 1.0)
     metrics = {
         "loss": loss,
-        "loss_per_frame": jnp.sum(nll * w) / frames,
-        "num_utts": jnp.sum(w),
+        "loss_per_frame": num / frames,
+        "num_utts": utts,
         "num_frames": frames,
     }
     return loss, metrics
@@ -105,30 +112,19 @@ def make_dp_loss_fn(cfg: Config, mesh: Mesh):
     """
     from tpu_ctc.parallel.mesh import AXIS_DATA
 
-    batch_specs = {
-        "feats": P(AXIS_DATA), "frame_mask": P(AXIS_DATA),
-        "frame_lengths": P(AXIS_DATA), "labels": P(AXIS_DATA),
-        "label_lengths": P(AXIS_DATA), "weights": P(AXIS_DATA),
-    }
-
     def local_loss(params, batch):
-        logits = birnn.forward(params, cfg.model, batch["feats"],
-                               batch["frame_mask"])
-        nll = ctc.ctc_loss(logits, batch["labels"], batch["frame_lengths"],
-                           batch["label_lengths"], impl=cfg.ctc_impl)
-        w = batch["weights"]
-        num = jax.lax.psum(jnp.sum(nll * w), AXIS_DATA)
-        denom = jnp.maximum(jax.lax.psum(jnp.sum(w), AXIS_DATA), 1.0)
-        frames = jnp.maximum(
-            jax.lax.psum(jnp.sum(batch["frame_lengths"] * w), AXIS_DATA), 1.0)
-        loss = num / denom
-        metrics = {"loss": loss, "loss_per_frame": num / frames,
-                   "num_utts": denom, "num_frames": frames}
-        return loss, metrics
+        return loss_fn(params, cfg, batch,
+                       reduce=lambda x: jax.lax.psum(x, AXIS_DATA))
 
     return jax.shard_map(local_loss, mesh=mesh,
-                         in_specs=(P(), batch_specs),
+                         in_specs=(P(), _dp_batch_specs()),
                          out_specs=(P(), P()), check_vma=False)
+
+
+def _dp_batch_specs() -> Dict[str, P]:
+    from tpu_ctc.parallel.mesh import AXIS_DATA
+    return {k: P(AXIS_DATA) for k in ("feats", "frame_mask", "frame_lengths",
+                                      "labels", "label_lengths", "weights")}
 
 
 def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
@@ -219,8 +215,20 @@ def make_train_step(cfg: Config, mesh: Mesh, state: TrainState):
     return fn, state
 
 
+def _pure_dp(mesh: Mesh, cfg: Config) -> bool:
+    """Pure data parallelism: the case where the Pallas ops must run under
+    shard_map (GSPMD would replicate the opaque custom calls)."""
+    from tpu_ctc.parallel.mesh import AXIS_DATA, AXIS_MODEL
+    shape = dict(mesh.shape)
+    return (shape.get(AXIS_DATA, 1) > 1 and shape.get(AXIS_MODEL, 1) == 1
+            and not _uses_sp(mesh) and not cfg.mesh.pipeline)
+
+
 def make_eval_step(cfg: Config, mesh: Mesh):
-    """jit'd eval: forward + greedy decode + on-device CER pieces."""
+    """jit'd eval: forward + greedy decode + on-device CER pieces.
+
+    Per-utterance outputs are sharded over 'data'; under pure DP the body
+    runs in shard_map so the Pallas forward is batch-sharded too."""
     from tpu_ctc.decode.greedy import collapse_ids
 
     cfg = resolve_cfg_for_mesh(cfg, mesh)
@@ -237,4 +245,10 @@ def make_eval_step(cfg: Config, mesh: Mesh):
                            from_log_probs=True)
         return {"hyp": hyp, "hyp_len": hyp_len, "nll": nll}
 
-    return jax.jit(eval_step, in_shardings=(None, b_sh))
+    fn = eval_step
+    if _pure_dp(mesh, cfg):
+        from tpu_ctc.parallel.mesh import AXIS_DATA
+        fn = jax.shard_map(eval_step, mesh=mesh,
+                           in_specs=(P(), _dp_batch_specs()),
+                           out_specs=P(AXIS_DATA), check_vma=False)
+    return jax.jit(fn, in_shardings=(None, b_sh))
