@@ -69,14 +69,18 @@ def bench_tpu_train(hidden=1024, num_bi=3, batch=32, t_frames=400,
         t0 = time.time()
         for _ in range(warmup):
             state, m = step_fn(state, bd)
-        jax.block_until_ready(state.params)
+        # Host-fetch a scalar for a true sync: block_until_ready alone can
+        # return before queued steps finish on this TPU tunnel.
         log(f"[bench] warmup+compile {time.time()-t0:.1f}s, "
             f"loss={float(m['loss']):.3f}")
         t0 = time.time()
+        float(m["loss"])        # fetch cost alone (ready value)
+        sync_cost = time.time() - t0
+        t0 = time.time()
         for _ in range(steps):
             state, m = step_fn(state, bd)
-        jax.block_until_ready(state.params)
-        dt = time.time() - t0
+        float(m["loss"])
+        dt = max(time.time() - t0 - sync_cost, 1e-9)
 
     audio_s = batch * t_frames / FRAMES_PER_SECOND * steps
     thr = audio_s / dt

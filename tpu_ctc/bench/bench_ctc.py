@@ -27,14 +27,24 @@ def log(*a):
 
 
 def timeit(fn, *args, iters=10, warmup=2):
+    def sync(x):
+        # host fetch = true sync: block_until_ready alone can return
+        # before queued executions finish on this TPU tunnel
+        np.asarray(jax.tree.leaves(x)[0])
+
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
+    # The fetch itself costs ~10-30 ms of tunnel latency; measure it on
+    # the already-ready value and subtract it from the timed loop.
+    t0 = time.time()
+    sync(out)
+    sync_cost = time.time() - t0
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+    sync(out)
+    return max(time.time() - t0 - sync_cost, 1e-9) / iters
 
 
 def run(batch=32, frames=1600, labels=120, vocab=29, iters=10):
@@ -57,10 +67,15 @@ def run(batch=32, frames=1600, labels=120, vocab=29, iters=10):
     np.testing.assert_allclose(np.asarray(fwd_pal(logits)),
                                np.asarray(fwd_ref(logits)), rtol=1e-3)
 
+    # Device time from profiler traces: wall-clock micro-benchmarks are
+    # unreliable on this TPU tunnel (see tpu_ctc.utils.devtime).  The slow
+    # jnp references use fewer iters to bound trace size.
+    from tpu_ctc.utils.devtime import device_time_ms
     results = {}
     for name, fn in [("fwd_jnp", fwd_ref), ("fwd_pallas", fwd_pal),
                      ("grad_jnp", grad_ref), ("grad_pallas", grad_pal)]:
-        dt = timeit(fn, logits, iters=iters)
+        n = max(2, iters // 3) if name.endswith("jnp") else iters
+        dt = device_time_ms(fn, logits, iters=n) / 1e3
         results[name] = dt
         log(f"[ctc-bench] {name:12s} {dt*1e3:8.2f} ms  "
             f"{cells/dt/1e9:7.2f} Gcells/s  "

@@ -62,12 +62,15 @@ def main():
     f = jax.jit(lambda x, l: prefix_beam_search(
         x, l, beam_width=args.beam, max_len=args.max_len))
     out = f(lp, fl)
-    jax.block_until_ready(out)
+    np.asarray(out[0])          # host fetch = true sync on the TPU tunnel
+    t0 = time.time()
+    np.asarray(out[0])          # fetch cost alone (ready value)
+    sync_cost = time.time() - t0
     t0 = time.time()
     for _ in range(args.iters):
         out = f(lp, fl)
-    jax.block_until_ready(out)
-    dev_s = (time.time() - t0) / args.iters
+    np.asarray(out[0])
+    dev_s = max(time.time() - t0 - sync_cost, 1e-9) / args.iters
     dev_thr = audio_s / dev_s
     log(f"[decode-bench] device: {dev_s*1e3:.2f} ms/batch "
         f"({args.batch} utts x {args.frames} frames, K={args.beam}) "

@@ -59,15 +59,20 @@ def measure(n_dev, *, per_dev_batch, frames, hidden, layers, steps):
     with mesh:
         for _ in range(3):
             state, m = step_fn(state, bd)
-        jax.block_until_ready(state.params)
+        # Host-fetch a scalar: block_until_ready alone can return before
+        # fast queued steps finish on this TPU tunnel (see verify recipe).
+        float(m["loss"])
+        t0 = time.time()
+        float(m["loss"])        # fetch cost alone (ready value)
+        sync_cost = time.time() - t0
         t0 = time.time()
         for _ in range(steps):
             state, m = step_fn(state, bd)
-        jax.block_until_ready(state.params)
-        dt = (time.time() - t0) / steps
+        loss = float(m["loss"])
+        dt = max(time.time() - t0 - sync_cost, 1e-9) / steps
     thr = batch * frames / FRAMES_PER_SECOND / dt
     log(f"[scaling] {n_dev} device(s): batch {batch}, step {dt*1e3:.1f} ms, "
-        f"{thr:,.0f} audio-s/s total, loss={float(m['loss']):.3f}")
+        f"{thr:,.0f} audio-s/s total, loss={loss:.3f}")
     return dt, thr
 
 

@@ -18,7 +18,7 @@ def ctc_loss(logits, labels, logit_lengths, label_lengths, blank: int = 0,
              impl: str = "auto", from_log_probs: bool = False):
     """Per-utterance CTC NLL [B]; see :func:`ctc_ref.ctc_loss`.
 
-    impl="auto" picks the Pallas kernel on TPU (34x fwd / 52x grad over the
+    impl="auto" picks the Pallas kernel on TPU (257x fwd / 253x grad over the
     scan on v5e) and the jnp scan elsewhere (interpret-mode Pallas is only
     for tests).
     """

