@@ -157,6 +157,11 @@ def train(cfg: Config,
 
     guard = PreemptionGuard()
     with mesh:
+        # Track the step count host-side: fetching int(state.step) per step
+        # is a device->host scalar read that costs 10-30 ms of tunnel
+        # latency each — it dominated small-model step time.
+        step = int(state.step)
+        t_win, audio_win, steps_win = time.time(), 0.0, 0
         for epoch in range(start_epoch, cfg.train.num_epochs):
             sb = start_batch if epoch == start_epoch else 0
             for cursor, batch, dev_batch in prefetch_to_device(
@@ -165,25 +170,28 @@ def train(cfg: Config,
                     ckpt_lib.save(manager, state, epoch, cursor, force=True)
                     manager.wait_until_finished()
                     logger.log(kind="preempted", epoch=epoch, cursor=cursor,
-                               step=int(state.step))
+                               step=step)
                     logger.close()
                     guard.restore()
-                    print(f"[preempt] checkpointed at step {int(state.step)} "
+                    print(f"[preempt] checkpointed at step {step} "
                           f"(epoch {epoch}, batch {cursor}); exiting")
                     return state, last_metrics
-                t0 = time.time()
                 state, m = step_fn(state, dev_batch)
-                step = int(state.step)
+                step += 1
+                audio_win += batch.audio_seconds()
+                steps_win += 1
                 if step % cfg.train.log_every == 0:
+                    # Window-averaged timing: the float() fetches below are
+                    # the loop's only host syncs, so the window wall-clock
+                    # amortizes their latency over log_every steps.
                     m = {k: float(v) for k, v in m.items()}
-                    jax.block_until_ready(state.params)
-                    dt = time.time() - t0
-                    audio_s = batch.audio_seconds()
+                    dt = time.time() - t_win
                     m.update(step=step, epoch=epoch,
-                             audio_s_per_s=audio_s / max(dt, 1e-9),
-                             step_time_s=dt)
+                             audio_s_per_s=audio_win / max(dt, 1e-9),
+                             step_time_s=dt / max(steps_win, 1))
                     logger.log(kind="train", **m)
                     last_metrics = m
+                    t_win, audio_win, steps_win = time.time(), 0.0, 0
                 if cfg.train.checkpoint_every and \
                         step % cfg.train.checkpoint_every == 0:
                     ckpt_lib.save(manager, state, epoch, cursor + 1)

@@ -241,7 +241,7 @@ def make_eval_step(cfg: Config, mesh: Mesh):
         ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
         hyp, hyp_len = collapse_ids(ids, batch["frame_mask"])
         nll = ctc.ctc_loss(log_probs, batch["labels"], batch["frame_lengths"],
-                           batch["label_lengths"], impl="jnp",
+                           batch["label_lengths"], impl=cfg.ctc_impl,
                            from_log_probs=True)
         return {"hyp": hyp, "hyp_len": hyp_len, "nll": nll}
 
