@@ -78,6 +78,46 @@ class TestForwardParity:
         np.testing.assert_array_equal(dead, 0.0)
 
 
+class TestUnidirectional:
+    """The reference's earlier-gen forward-only family (rnn/rnnet.py)."""
+
+    def test_matches_scan(self, rng):
+        cfg = make_cfg(24, num_bi=2, bidirectional=False)
+        feats, mask = rand_inputs(rng, 3, 15, cfg.input_dim)
+        _, _, _, want, got = forwards(cfg, feats, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_causal(self, rng):
+        """Output at time t must not depend on frames > t."""
+        cfg = make_cfg(16, bidirectional=False)
+        feats, _ = rand_inputs(rng, 1, 12, cfg.input_dim)
+        mask = jnp.ones((1, 12), jnp.float32)
+        params = birnn.init_params(jax.random.PRNGKey(0), cfg)
+        base = birnn.forward(params, cfg, feats, mask)
+        bumped = feats.at[:, 8:, :].add(3.0)
+        out2 = birnn.forward(params, cfg, bumped, mask)
+        np.testing.assert_allclose(np.asarray(out2[:, :8]),
+                                   np.asarray(base[:, :8]), atol=1e-6)
+        assert np.abs(np.asarray(out2[:, 8:]) -
+                      np.asarray(base[:, 8:])).max() > 1e-4
+
+    def test_grads_match_and_wb_zero(self, rng):
+        cfg = make_cfg(16, bidirectional=False)
+        feats, mask = rand_inputs(rng, 2, 9, cfg.input_dim)
+        params, scan_cfg, pal_cfg, _, _ = forwards(cfg, feats, mask)
+
+        def loss(p, c):
+            return jnp.sum(birnn.forward(p, c, feats, mask) ** 2)
+
+        g_scan = jax.grad(lambda p: loss(p, scan_cfg))(params)
+        g_pal = jax.grad(lambda p: loss(p, pal_cfg))(params)
+        for a, b in zip(jax.tree.leaves(g_scan), jax.tree.leaves(g_pal)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(g_pal["bi"][0]["wb"]), 0.0)
+
+
 class TestGradParity:
     @pytest.mark.parametrize("b,t,h", [(2, 9, 16), (3, 21, 48)])
     def test_full_layer_grads(self, rng, b, t, h):

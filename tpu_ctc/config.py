@@ -53,8 +53,12 @@ class ModelConfig:
     input_dim: int = 40
     hidden_dim: int = 512
     num_pre_layers: int = 1        # feed-forward layers before the BiRNN stack
-    num_bi_layers: int = 1         # bidirectional recurrent layers
+    num_bi_layers: int = 1         # recurrent layers (0 = pure feedforward,
+    #                                the reference's earlier-gen nnet.py)
     num_post_layers: int = 0       # feed-forward layers after the BiRNN stack
+    # False = forward-only recurrence (the reference's earlier-gen
+    # rnn/rnnet.py unidirectional model family).
+    bidirectional: bool = True
     vocab_size: int = 29           # blank + 26 letters + space + apostrophe
     relu_clip: float = 20.0        # clipped-ReLU ceiling, reference-faithful
     param_dtype: str = "float32"

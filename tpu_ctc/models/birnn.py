@@ -171,7 +171,10 @@ def _bi_layer(x, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
 
 
 def _bi_layer_tm(x_t, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
-    """Time-major bi layer: x_t [T, B, H], mask [B, T] -> [T, B, H]."""
+    """Time-major recurrent layer: x_t [T, B, H], mask [B, T] -> [T, B, H].
+
+    ``cfg.bidirectional=False`` runs the forward direction only — the
+    reference's earlier-gen unidirectional family (rnn/rnnet.py)."""
     z = _dense(x_t, layer, cfg, activate=False)
     if resolve_birnn_impl(cfg) == "pallas":
         from tpu_ctc.ops import birnn_pallas
@@ -179,7 +182,8 @@ def _bi_layer_tm(x_t, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
                                 clip=cfg.relu_clip,
                                 compute_dtype=cfg.compute_dtype,
                                 io_dtype=cfg.birnn_io_dtype or None,
-                                time_major=True)
+                                time_major=True,
+                                bidirectional=cfg.bidirectional)
         if cfg.remat:
             rec = jax.checkpoint(rec)
         return rec(z, layer["wf"], layer["wb"], mask)
@@ -191,7 +195,10 @@ def _bi_layer_tm(x_t, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
 
     if cfg.remat:
         rec = jax.checkpoint(rec, static_argnums=(3,))
-    return rec(z, layer["wf"], m_t, False) + rec(z, layer["wb"], m_t, True)
+    fwd = rec(z, layer["wf"], m_t, False)
+    if not cfg.bidirectional:
+        return fwd
+    return fwd + rec(z, layer["wb"], m_t, True)
 
 
 def forward(params: Params, cfg: ModelConfig, feats: jnp.ndarray,

@@ -199,11 +199,13 @@ def _run_bwd(g, hs, wt, *, reverse: bool, clip: float, bb: int, tc: int):
 
 @functools.lru_cache(maxsize=None)
 def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str,
-                        time_major: bool):
+                        time_major: bool, bidirectional: bool = True):
     cdt = jnp.dtype(cdt_name)      # matmul-input dtype (MXU)
     io = jnp.dtype(io_name)        # HBM stream dtype for z/h/g/delta
     # time_major: z/out are [T, B, H] (no boundary transposes — the layout
     # the kernels want); otherwise [B, T, H] with one moveaxis each way.
+    # bidirectional=False is the reference's earlier-gen unidirectional
+    # family (rnn/rnnet.py): wb is ignored and gets a zero cotangent.
 
     def _pad_shapes(dims):
         """(b_pad, t_pad, h_pad, bb, tc) — one plan (3-stream worst case,
@@ -248,10 +250,12 @@ def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str,
         z_t, len_tile = _prep(z, lengths)
         hs_f = _run_fwd(z_t, _pad_w(wf, h_pad), len_tile,
                         reverse=False, clip=clip, bb=bb, tc=tc)
-        hs_b = _run_fwd(z_t, _pad_w(wb, h_pad), len_tile,
-                        reverse=True, clip=clip, bb=bb, tc=tc)
-        out = (hs_f[:t, :b, :h].astype(jnp.float32)
-               + hs_b[:t, :b, :h].astype(jnp.float32))
+        out = hs_f[:t, :b, :h].astype(jnp.float32)
+        hs_b = None
+        if bidirectional:
+            hs_b = _run_fwd(z_t, _pad_w(wb, h_pad), len_tile,
+                            reverse=True, clip=clip, bb=bb, tc=tc)
+            out = out + hs_b[:t, :b, :h].astype(jnp.float32)
         if not time_major:
             out = jnp.moveaxis(out, 0, 1)
         return out, (hs_f, hs_b, wf, wb, (b, t, h))
@@ -267,22 +271,26 @@ def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str,
         # the backward-direction one left-to-right.
         d_f = _run_bwd(gp, hs_f, _pad_w(wf, h_pad).T, reverse=True,
                        clip=clip, bb=bb, tc=tc)
-        d_b = _run_bwd(gp, hs_b, _pad_w(wb, h_pad).T, reverse=False,
-                       clip=clip, bb=bb, tc=tc)
-        dz = (d_f[:t, :b, :h].astype(jnp.float32)
-              + d_b[:t, :b, :h].astype(jnp.float32))
+        dz = d_f[:t, :b, :h].astype(jnp.float32)
         # dW = sum_t h_neighbour^T d_t — one big MXU matmul over T*B rows.
         zeros = jnp.zeros((1,) + hs_f.shape[1:], hs_f.dtype)
         h_prev_f = jnp.concatenate([zeros, hs_f[:-1]], axis=0)
-        h_next_b = jnp.concatenate([hs_b[1:], zeros], axis=0)
         dwf = jnp.einsum("tbh,tbk->hk", h_prev_f, d_f,
                          preferred_element_type=jnp.float32)[:h, :h]
-        dwb = jnp.einsum("tbh,tbk->hk", h_next_b, d_b,
-                         preferred_element_type=jnp.float32)[:h, :h]
+        if bidirectional:
+            d_b = _run_bwd(gp, hs_b, _pad_w(wb, h_pad).T, reverse=False,
+                           clip=clip, bb=bb, tc=tc)
+            dz = dz + d_b[:t, :b, :h].astype(jnp.float32)
+            h_next_b = jnp.concatenate([hs_b[1:], zeros], axis=0)
+            dwb = jnp.einsum("tbh,tbk->hk", h_next_b, d_b,
+                             preferred_element_type=jnp.float32)[:h, :h]
+            dwb = dwb.astype(wb.dtype)
+        else:
+            dwb = jnp.zeros_like(wb)
         if not time_major:
             dz = jnp.moveaxis(dz, 0, 1)
-        return (dz, dwf.astype(wf.dtype),
-                dwb.astype(wb.dtype), jnp.zeros((b,), jnp.float32))
+        return (dz, dwf.astype(wf.dtype), dwb,
+                jnp.zeros((b,), jnp.float32))
 
     bi_recurrence.defvjp(_fwd, _bwd)
     return bi_recurrence
@@ -290,16 +298,19 @@ def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str,
 
 def bi_recurrence(z: jnp.ndarray, wf: jnp.ndarray, wb: jnp.ndarray,
                   mask: jnp.ndarray, *, clip: float, compute_dtype,
-                  io_dtype=None, time_major: bool = False) -> jnp.ndarray:
+                  io_dtype=None, time_major: bool = False,
+                  bidirectional: bool = True) -> jnp.ndarray:
     """Fused bidirectional clipped-ReLU recurrence.
 
     z [B, T, H] float32 (shared input projection; [T, B, H] when
     ``time_major``), wf/wb [H, H], mask [B, T] with trailing padding ->
     f + b summed hidden sequences in z's layout, float32.  Same contract as
-    summing two :func:`tpu_ctc.models.birnn._recurrence` calls.
+    summing two :func:`tpu_ctc.models.birnn._recurrence` calls.  With
+    ``bidirectional=False`` only the forward sweep runs (wb ignored, zero
+    cotangent) — the reference's earlier-gen unidirectional family.
     """
     lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
     fn = _make_bi_recurrence(float(clip), jnp.dtype(compute_dtype).name,
                              jnp.dtype(io_dtype or compute_dtype).name,
-                             bool(time_major))
+                             bool(time_major), bool(bidirectional))
     return fn(z.astype(jnp.float32), wf, wb, lengths)

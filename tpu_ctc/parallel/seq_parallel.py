@@ -54,18 +54,20 @@ def _sp_bi_layer(x, layer, mask, cfg: ModelConfig):
     for r in range(n):
         hs_f, last_f = birnn._recurrence_with_carry(
             z, layer["wf"], mask, False, h_in_f, cfg=cfg)
-        hs_b, last_b = birnn._recurrence_with_carry(
-            z, layer["wb"], mask, True, h_in_b, cfg=cfg)
         run_f = (idx == r)
-        run_b = (idx == n - 1 - r)
         out_f = jnp.where(run_f, hs_f, out_f)
-        out_b = jnp.where(run_b, hs_b, out_b)
+        if cfg.bidirectional:
+            hs_b, last_b = birnn._recurrence_with_carry(
+                z, layer["wb"], mask, True, h_in_b, cfg=cfg)
+            run_b = (idx == n - 1 - r)
+            out_b = jnp.where(run_b, hs_b, out_b)
         if r < n - 1:
             h_in_f = jax.lax.ppermute(
                 jnp.where(run_f, last_f, 0.0), AXIS_SEQ, perm_f)
-            h_in_b = jax.lax.ppermute(
-                jnp.where(run_b, last_b, 0.0), AXIS_SEQ, perm_b)
-    return out_f + out_b
+            if cfg.bidirectional:
+                h_in_b = jax.lax.ppermute(
+                    jnp.where(run_b, last_b, 0.0), AXIS_SEQ, perm_b)
+    return out_f + out_b if cfg.bidirectional else out_f
 
 
 def forward_sp(params, cfg: ModelConfig, feats, frame_mask):
