@@ -51,3 +51,24 @@ def test_mesh_decode_matches_single_device(rng, use_beam):
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h8))
     # outputs are replicated on every device
     assert len({s.device for s in h8.addressable_shards}) == 8
+
+
+def test_mesh_decode_pallas_forward(rng):
+    """Collective decode with the fused Pallas BiRNN forward (interpret
+    mode): the shard_map wrap must keep it batch-sharded and exact."""
+    import dataclasses
+    cfg, params, bd = setup(rng)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, birnn_impl="pallas"))
+
+    single = mesh_lib.make_mesh(MeshConfig(data=1, model=1, seq=1),
+                                devices=jax.devices()[:1])
+    full = mesh_lib.make_mesh(MeshConfig(data=-1, model=1, seq=1))
+    with single:
+        h1, l1 = make_collective_decoder(cfg, single, use_beam=True,
+                                         max_len=24)(params, bd)
+    with full:
+        h8, l8 = make_collective_decoder(cfg, full, use_beam=True,
+                                         max_len=24)(params, bd)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h8))
