@@ -207,3 +207,63 @@ class TestDispatch:
         dp = Config(model=make_cfg(16), mesh=MeshConfig(data=-1))
         dp_mesh = make_mesh(dp.mesh)
         assert resolve_cfg_for_mesh(dp, dp_mesh).model.birnn_impl == "auto"
+
+
+class TestCarryRecurrence:
+    """Single-direction sweep from a nonzero carry (the SP chunk-local
+    recurrence, SURVEY.md P4)."""
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_matches_scan_with_carry(self, rng, reverse):
+        from tpu_ctc.ops import birnn_pallas
+        b, t, h = 3, 13, 16
+        cfg = make_cfg(h)
+        z = jnp.asarray(0.3 * rng.randn(b, t, h).astype(np.float32))
+        w = jnp.asarray(0.3 * rng.randn(h, h).astype(np.float32))
+        h0 = jnp.asarray(np.abs(rng.randn(b, h)).astype(np.float32))
+        lens = np.array([t, 7, 1])
+        mask = jnp.asarray((np.arange(t)[None] < lens[:, None])
+                           .astype(np.float32))
+        want, want_last = birnn._recurrence_with_carry(
+            z, w, mask, reverse, h0,
+            cfg=dataclasses.replace(cfg, birnn_impl="scan"))
+        got = birnn_pallas.carry_recurrence(
+            z, w, h0, mask, reverse=reverse, clip=cfg.relu_clip,
+            compute_dtype="float32")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        got_last = got[:, 0] if reverse else got[:, -1]
+        np.testing.assert_allclose(np.asarray(got_last),
+                                   np.asarray(want_last),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_grads_including_carry(self, rng, reverse):
+        from tpu_ctc.ops import birnn_pallas
+        b, t, h = 2, 9, 16
+        cfg = make_cfg(h)
+        z = jnp.asarray(0.3 * rng.randn(b, t, h).astype(np.float32))
+        w = jnp.asarray(0.3 * rng.randn(h, h).astype(np.float32))
+        h0 = jnp.asarray(np.abs(rng.randn(b, h)).astype(np.float32))
+        mask = jnp.ones((b, t), jnp.float32)
+        probe = jnp.asarray(rng.randn(b, t, h).astype(np.float32))
+
+        def f_scan(args):
+            z_, w_, h0_ = args
+            hs, _ = birnn._recurrence_with_carry(
+                z_, w_, mask, reverse, h0_,
+                cfg=dataclasses.replace(cfg, birnn_impl="scan"))
+            return jnp.sum(hs * probe)
+
+        def f_pal(args):
+            z_, w_, h0_ = args
+            hs = birnn_pallas.carry_recurrence(
+                z_, w_, h0_, mask, reverse=reverse, clip=cfg.relu_clip,
+                compute_dtype="float32")
+            return jnp.sum(hs * probe)
+
+        g_scan = jax.grad(f_scan)((z, w, h0))
+        g_pal = jax.grad(f_pal)((z, w, h0))
+        for a, bb in zip(g_scan, g_pal):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                       rtol=2e-4, atol=2e-4)

@@ -92,3 +92,29 @@ class TestPipelineParallel:
         state = create_train_state(cfg)
         with pytest.raises(ValueError):
             make_train_step(cfg, mesh, state)
+
+
+class TestPipelinePallas:
+    def test_pp_pallas_kernels_match_single_device(self):
+        """Pipeline stages run under shard_map (manual mode), so the fused
+        Pallas recurrence works per-stage: PP2 with birnn_impl='pallas'
+        must match the single-device scan run."""
+        import dataclasses
+
+        def pallas_cfg(mesh):
+            cfg = tiny_config(mesh)
+            return dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model,
+                                               birnn_impl="pallas"))
+
+        ref_state, ref_losses = run_steps(
+            tiny_config(MeshConfig(data=1, model=1, seq=1)), n_devices=1)
+        pp_state, pp_losses = run_steps(
+            pallas_cfg(MeshConfig(data=4, model=2, seq=1, pipeline=True,
+                                  pipeline_microbatches=2)))
+        np.testing.assert_allclose(ref_losses, pp_losses, rtol=1e-4)
+        ref_flat = jax.tree.leaves(stack_bi_params(ref_state.params))
+        pp_flat = jax.tree.leaves(pp_state.params)
+        for a, b in zip(ref_flat, pp_flat):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)

@@ -77,3 +77,27 @@ class TestSequenceParallel:
         state = create_train_state(cfg)
         with pytest.raises(NotImplementedError):
             make_train_step(cfg, mesh, state)
+
+
+class TestSequenceParallelPallas:
+    def test_sp_pallas_kernels_match_single_device(self):
+        """SP runs under shard_map (manual mode), so the fused Pallas
+        carry recurrence works per-chunk: SP4 with birnn_impl='pallas'
+        must match the single-device scan run exactly."""
+        import dataclasses
+
+        def pallas_cfg(mesh):
+            cfg = tiny_config(mesh)
+            return dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model,
+                                               birnn_impl="pallas"))
+
+        ref_state, ref_losses = run_steps(
+            tiny_config(MeshConfig(data=1, model=1, seq=1)), n_devices=1)
+        sp_state, sp_losses = run_steps(
+            pallas_cfg(MeshConfig(data=2, model=1, seq=4)))
+        np.testing.assert_allclose(ref_losses, sp_losses, rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(sp_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)

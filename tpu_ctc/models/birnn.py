@@ -129,6 +129,13 @@ def _recurrence_with_carry(z: jnp.ndarray, w: jnp.ndarray, mask: jnp.ndarray,
     frame fwd / first frame bwd) — the carry a sequence-parallel neighbour
     chunk resumes from (SURVEY.md §2.2 P4).
     """
+    if resolve_birnn_impl(cfg) == "pallas":
+        from tpu_ctc.ops import birnn_pallas
+        hs = birnn_pallas.carry_recurrence(
+            z, w, h0, mask, reverse=reverse, clip=cfg.relu_clip,
+            compute_dtype=cfg.compute_dtype,
+            io_dtype=cfg.birnn_io_dtype or None)
+        return hs, (hs[:, 0] if reverse else hs[:, -1])
     z_t = jnp.moveaxis(z, 1, 0)                 # [T, B, H]
     m_t = jnp.moveaxis(mask, 1, 0)[..., None]   # [T, B, 1]
     hs, h_last = _recurrence_tm(z_t, w, m_t, reverse, h0, cfg=cfg)

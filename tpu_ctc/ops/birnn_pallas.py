@@ -97,15 +97,15 @@ def _plan(b_pad: int, h_pad: int, w_item: int, s_item: int, streams: int):
 # Forward sweep:  h_t = clip(z_t + h_prev @ W) * 1{t < length}
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(z_ref, w_ref, len_ref, h_out_ref, carry, *,
-                reverse: bool, clip: float, tc: int):
+def _fwd_kernel(z_ref, w_ref, len_ref, h0_ref, h_out_ref, carry, *,
+                reverse: bool, clip: float, tc: int, t_true: int):
     ti = pl.program_id(1)
     nt = pl.num_programs(1)
     length = len_ref[:, 0:1]                       # [Bb, 1] f32
 
     @pl.when(ti == 0)
     def _():
-        carry[:, :] = jnp.zeros_like(carry[:, :])
+        carry[:, :] = h0_ref[:, :].astype(jnp.float32)
 
     def body(j, h):
         i = tc - 1 - j if reverse else j
@@ -113,22 +113,32 @@ def _fwd_kernel(z_ref, w_ref, len_ref, h_out_ref, carry, *,
         a = z_ref[i].astype(jnp.float32) + jnp.dot(
             h.astype(w_ref.dtype), w_ref[:, :],
             preferred_element_type=jnp.float32)
-        h_new = jnp.clip(a, 0.0, clip)
-        h = jnp.where(t * 1.0 < length, h_new, 0.0)
-        h_out_ref[i] = h.astype(h_out_ref.dtype)
-        return h
+        h_new = jnp.where(t * 1.0 < length, jnp.clip(a, 0.0, clip), 0.0)
+        # Frames in [t_true, t_pad) exist only because T was padded to the
+        # chunk size: the carry passes through untouched — the reverse
+        # sweep ENTERS through this region and must reach the last real
+        # frame with h0 intact.  Statically elided when T is chunk-aligned
+        # (every bucketed shape), where it would be a per-step no-op.
+        if t_true < nt * tc:
+            h_new = jnp.where(t >= t_true, h, h_new)
+        h_out_ref[i] = h_new.astype(h_out_ref.dtype)
+        return h_new
 
     carry[:, :] = jax.lax.fori_loop(0, tc, body, carry[:, :])
 
 
-def _run_fwd(z, w, lengths, *, reverse: bool, clip: float, bb: int, tc: int):
-    """z [T,B,H], w [H,H], lengths [B,128] f32 -> h [T,B,H] (z.dtype)."""
+def _run_fwd(z, w, lengths, h0, *, reverse: bool, clip: float,
+             bb: int, tc: int, t_true: int):
+    """z [T,B,H], w [H,H], lengths [B,128] f32, h0 [B,H] (initial carry:
+    h_{-1} fwd / h_T reversed) -> h [T,B,H] (z.dtype).  t_true is the
+    unpadded T: frames beyond it are carry passthrough."""
     t, b, h = z.shape
     nt = t // tc
     idx = (lambda bi, ti: (nt - 1 - ti, bi, 0)) if reverse \
         else (lambda bi, ti: (ti, bi, 0))
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, reverse=reverse, clip=clip, tc=tc),
+        functools.partial(_fwd_kernel, reverse=reverse, clip=clip, tc=tc,
+                          t_true=t_true),
         grid=(b // bb, nt),
         in_specs=[
             pl.BlockSpec((tc, bb, h), idx, memory_space=pltpu.VMEM),
@@ -136,13 +146,15 @@ def _run_fwd(z, w, lengths, *, reverse: bool, clip: float, bb: int, tc: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, _LANE), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, h), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tc, bb, h), idx, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, b, h), z.dtype),
         scratch_shapes=[pltpu.VMEM((bb, h), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(z, w, lengths)
+    )(z, w, lengths, h0)
 
 
 # ---------------------------------------------------------------------------
@@ -150,8 +162,9 @@ def _run_fwd(z, w, lengths, *, reverse: bool, clip: float, bb: int, tc: int):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(g_ref, hs_ref, wt_ref, d_out_ref, carry, *,
-                reverse: bool, clip: float, tc: int):
+                reverse: bool, clip: float, tc: int, t_true: int):
     ti = pl.program_id(1)
+    nt = pl.num_programs(1)
 
     @pl.when(ti == 0)
     def _():
@@ -159,25 +172,37 @@ def _bwd_kernel(g_ref, hs_ref, wt_ref, d_out_ref, carry, *,
 
     def body(j, d):
         i = tc - 1 - j if reverse else j
+        t = ((nt - 1 - ti) * tc + i) if reverse else (ti * tc + i)
         hs_i = hs_ref[i].astype(jnp.float32)  # Mosaic: no bf16 compares
         active = (hs_i > 0.0) & (hs_i < clip)
         d_tot = g_ref[i].astype(jnp.float32) + jnp.dot(
             d.astype(wt_ref.dtype), wt_ref[:, :],
             preferred_element_type=jnp.float32)
-        d = jnp.where(active, d_tot, 0.0)
-        d_out_ref[i] = d.astype(d_out_ref.dtype)
-        return d
+        d_new = jnp.where(active, d_tot, 0.0)
+        # Padded frames [t_true, t_pad) are identity in the primal (carry
+        # passthrough), so their cotangent passes through unchanged — and
+        # contributes nothing to dz/dW (zero written out).  Statically
+        # elided for chunk-aligned T.
+        if t_true < nt * tc:
+            d_new = jnp.where(t >= t_true, d, d_new)
+            d_out_ref[i] = jnp.where(t >= t_true, 0.0,
+                                     d_new).astype(d_out_ref.dtype)
+        else:
+            d_out_ref[i] = d_new.astype(d_out_ref.dtype)
+        return d_new
 
     carry[:, :] = jax.lax.fori_loop(0, tc, body, carry[:, :])
 
 
-def _run_bwd(g, hs, wt, *, reverse: bool, clip: float, bb: int, tc: int):
+def _run_bwd(g, hs, wt, *, reverse: bool, clip: float, bb: int, tc: int,
+             t_true: int):
     t, b, h = g.shape
     nt = t // tc
     idx = (lambda bi, ti: (nt - 1 - ti, bi, 0)) if reverse \
         else (lambda bi, ti: (ti, bi, 0))
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, reverse=reverse, clip=clip, tc=tc),
+        functools.partial(_bwd_kernel, reverse=reverse, clip=clip, tc=tc,
+                          t_true=t_true),
         grid=(b // bb, nt),
         in_specs=[
             pl.BlockSpec((tc, bb, h), idx, memory_space=pltpu.VMEM),
@@ -248,13 +273,15 @@ def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str,
         b, t, h = _dims(z)
         _, _, h_pad, bb, tc = _pad_shapes((b, t, h))
         z_t, len_tile = _prep(z, lengths)
-        hs_f = _run_fwd(z_t, _pad_w(wf, h_pad), len_tile,
-                        reverse=False, clip=clip, bb=bb, tc=tc)
+        zero_h0 = jnp.zeros(z_t.shape[1:], io)
+        hs_f = _run_fwd(z_t, _pad_w(wf, h_pad), len_tile, zero_h0,
+                        reverse=False, clip=clip, bb=bb, tc=tc, t_true=t)
         out = hs_f[:t, :b, :h].astype(jnp.float32)
         hs_b = None
         if bidirectional:
-            hs_b = _run_fwd(z_t, _pad_w(wb, h_pad), len_tile,
-                            reverse=True, clip=clip, bb=bb, tc=tc)
+            hs_b = _run_fwd(z_t, _pad_w(wb, h_pad), len_tile, zero_h0,
+                            reverse=True, clip=clip, bb=bb, tc=tc,
+                            t_true=t)
             out = out + hs_b[:t, :b, :h].astype(jnp.float32)
         if not time_major:
             out = jnp.moveaxis(out, 0, 1)
@@ -270,7 +297,7 @@ def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str,
         # The forward-direction recurrence backpropagates right-to-left,
         # the backward-direction one left-to-right.
         d_f = _run_bwd(gp, hs_f, _pad_w(wf, h_pad).T, reverse=True,
-                       clip=clip, bb=bb, tc=tc)
+                       clip=clip, bb=bb, tc=tc, t_true=t)
         dz = d_f[:t, :b, :h].astype(jnp.float32)
         # dW = sum_t h_neighbour^T d_t — one big MXU matmul over T*B rows.
         zeros = jnp.zeros((1,) + hs_f.shape[1:], hs_f.dtype)
@@ -279,7 +306,7 @@ def _make_bi_recurrence(clip: float, cdt_name: str, io_name: str,
                          preferred_element_type=jnp.float32)[:h, :h]
         if bidirectional:
             d_b = _run_bwd(gp, hs_b, _pad_w(wb, h_pad).T, reverse=False,
-                           clip=clip, bb=bb, tc=tc)
+                           clip=clip, bb=bb, tc=tc, t_true=t)
             dz = dz + d_b[:t, :b, :h].astype(jnp.float32)
             h_next_b = jnp.concatenate([hs_b[1:], zeros], axis=0)
             dwb = jnp.einsum("tbh,tbk->hk", h_next_b, d_b,
@@ -314,3 +341,89 @@ def bi_recurrence(z: jnp.ndarray, wf: jnp.ndarray, wb: jnp.ndarray,
                              jnp.dtype(io_dtype or compute_dtype).name,
                              bool(time_major), bool(bidirectional))
     return fn(z.astype(jnp.float32), wf, wb, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Single-direction recurrence from a nonzero carry (sequence parallelism)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _make_carry_recurrence(clip: float, cdt_name: str, io_name: str,
+                           reverse: bool):
+    """custom-VJP single-direction sweep h_t = clip(z_t + h_prev @ W) from
+    carry h0 — the chunk-local recurrence of the SP carry ring (SURVEY P4).
+    Batch-major: z [B, T, H], h0 [B, H]."""
+    cdt = jnp.dtype(cdt_name)
+    io = jnp.dtype(io_name)
+
+    def _shapes(b, t, h):
+        b_pad = _round_up(b, 16)
+        h_pad = _round_up(h, _LANE)
+        bb, tc = _plan(b_pad, h_pad, cdt.itemsize, io.itemsize, streams=3)
+        tc = min(tc, _round_up(t, 8))
+        return b_pad, _round_up(t, tc), h_pad, bb, tc
+
+    @jax.custom_vjp
+    def rec(z, w, h0, lengths):
+        return _fwd(z, w, h0, lengths)[0]
+
+    def _fwd(z, w, h0, lengths):
+        b, t, h = z.shape
+        b_pad, t_pad, h_pad, bb, tc = _shapes(b, t, h)
+        z_t = jnp.moveaxis(
+            jnp.pad(z, ((0, b_pad - b), (0, t_pad - t), (0, h_pad - h))),
+            1, 0).astype(io)
+        h0_p = jnp.pad(h0, ((0, b_pad - b), (0, h_pad - h))).astype(io)
+        len_tile = jnp.broadcast_to(
+            jnp.pad(lengths.astype(jnp.float32), (0, b_pad - b))[:, None],
+            (b_pad, _LANE))
+        w_p = jnp.pad(w, ((0, h_pad - h), (0, h_pad - h))).astype(cdt)
+        hs = _run_fwd(z_t, w_p, len_tile, h0_p, reverse=reverse, clip=clip,
+                      bb=bb, tc=tc, t_true=t)
+        out = jnp.moveaxis(hs[:t, :b, :h].astype(jnp.float32), 0, 1)
+        return out, (hs, h0_p, w, (b, t, h))
+
+    def _bwd(res, g):
+        hs, h0_p, w, (b, t, h) = res
+        t_pad, b_pad, h_pad = hs.shape
+        bb, tc = _shapes(b, t, h)[3:]
+        gp = jnp.pad(jnp.moveaxis(g, 1, 0),
+                     ((0, t_pad - t), (0, b_pad - b), (0, h_pad - h))
+                     ).astype(io)
+        w_p = jnp.pad(w, ((0, h_pad - h), (0, h_pad - h))).astype(cdt)
+        # The delta recursion runs in the opposite time order of the sweep.
+        d = _run_bwd(gp, hs, w_p.T, reverse=not reverse, clip=clip,
+                     bb=bb, tc=tc, t_true=t)
+        dz = jnp.moveaxis(d[:t, :b, :h].astype(jnp.float32), 0, 1)
+        # Neighbour states: h0 sits at the sweep's first processed frame.
+        h0_row = h0_p[None].astype(hs.dtype)
+        if reverse:
+            h_nb = jnp.concatenate([hs[1:], h0_row], axis=0)
+            d_first = d[t - 1]
+        else:
+            h_nb = jnp.concatenate([h0_row, hs[:-1]], axis=0)
+            d_first = d[0]
+        dw = jnp.einsum("tbh,tbk->hk", h_nb, d,
+                        preferred_element_type=jnp.float32)[:h, :h]
+        dh0 = jnp.dot(d_first.astype(cdt), w_p.T,
+                      preferred_element_type=jnp.float32)[:b, :h]
+        return (dz, dw.astype(w.dtype), dh0, jnp.zeros((b,), jnp.float32))
+
+    rec.defvjp(_fwd, _bwd)
+    return rec
+
+
+def carry_recurrence(z: jnp.ndarray, w: jnp.ndarray, h0: jnp.ndarray,
+                     mask: jnp.ndarray, *, reverse: bool, clip: float,
+                     compute_dtype, io_dtype=None) -> jnp.ndarray:
+    """Single-direction clipped-ReLU recurrence from carry h0.
+
+    z [B, T, H] f32, w [H, H], h0 [B, H], mask [B, T] trailing-padded ->
+    hs [B, T, H] f32.  Same contract as
+    :func:`tpu_ctc.models.birnn._recurrence_with_carry` (whose h_last is
+    hs[:, -1] fwd / hs[:, 0] reversed)."""
+    lengths = jnp.sum(mask.astype(jnp.float32), axis=1)
+    fn = _make_carry_recurrence(float(clip), jnp.dtype(compute_dtype).name,
+                                jnp.dtype(io_dtype or compute_dtype).name,
+                                bool(reverse))
+    return fn(z.astype(jnp.float32), w, h0.astype(jnp.float32), lengths)

@@ -87,16 +87,17 @@ def _uses_sp(mesh: Mesh) -> bool:
 
 
 def resolve_cfg_for_mesh(cfg: Config, mesh: Mesh) -> Config:
-    """Force the scan recurrence under TP/SP/PP: the fused Pallas BiRNN op
-    is an opaque custom call GSPMD cannot partition over 'model'/'seq'."""
+    """Force the scan recurrence under (non-pipeline) tensor parallelism:
+    that path runs under GSPMD, which cannot partition the fused Pallas
+    BiRNN op over 'model'.  DP/SP/PP evaluate the model inside shard_map
+    (manual mode), where the Pallas kernels run per-device as-is."""
     from tpu_ctc.parallel.mesh import AXIS_MODEL
-    sharded = (cfg.mesh.pipeline or _uses_sp(mesh)
-               or dict(mesh.shape).get(AXIS_MODEL, 1) > 1)
-    if not sharded or cfg.model.birnn_impl == "scan":
+    tp = dict(mesh.shape).get(AXIS_MODEL, 1) > 1 and not cfg.mesh.pipeline
+    if not tp or cfg.model.birnn_impl == "scan":
         return cfg
     if cfg.model.birnn_impl == "pallas":
         raise ValueError("model.birnn_impl='pallas' is incompatible with "
-                         "model/seq/pipeline sharding; use 'auto' or 'scan'")
+                         "tensor (model-axis) sharding; use 'auto' or 'scan'")
     return cfg.override(**{"model.birnn_impl": "scan"})
 
 
