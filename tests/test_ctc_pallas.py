@@ -42,6 +42,20 @@ class TestForwardParity:
                                   jnp.array([2]), jnp.array([3]))
         assert float(nll[0]) > 1e8
 
+    def test_neg_inf_log_probs(self, rng):
+        """-inf vocab entries (masked vocab / diverged logits) must not NaN
+        the one-hot emission einsum (ADVICE r1: -inf * 0.0 = NaN)."""
+        b, t, a, lmax = 2, 20, 8, 4
+        logits, labels, tl, ll = rand_case(rng, b, t, a, lmax)
+        labels = jnp.minimum(labels, a - 2)       # keep labels feasible
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        lp = lp.at[:, :, a - 1].set(-np.inf)      # a masked vocab entry
+        want = ctc_ref.ctc_loss_from_log_probs(lp, labels, tl, ll)
+        got = ctc_pallas.ctc_loss_from_log_probs(lp, labels, tl, ll)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        assert np.all(np.isfinite(np.asarray(got)))
+
     def test_torch_oracle(self):
         d = np.load(os.path.join(DATA, "ctc_torch_oracle.npz"))
         for ci in range(int(d["num_cases"])):

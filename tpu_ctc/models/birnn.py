@@ -164,7 +164,8 @@ def resolve_birnn_impl(cfg: ModelConfig) -> str:
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
     if impl == "pallas":
         from tpu_ctc.ops import birnn_pallas
-        if not birnn_pallas.supported(cfg.hidden_dim, cfg.compute_dtype):
+        if not birnn_pallas.supported(cfg.hidden_dim, cfg.compute_dtype,
+                                      cfg.birnn_io_dtype or None):
             impl = "scan"
     if impl not in ("scan", "pallas"):
         raise ValueError(f"unknown birnn impl {cfg.birnn_impl!r}")

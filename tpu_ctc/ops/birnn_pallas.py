@@ -68,13 +68,16 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def supported(hidden_dim: int, compute_dtype) -> bool:
+def supported(hidden_dim: int, compute_dtype, io_dtype=None) -> bool:
     """Whether the fused kernel applies: W (plus one stream chunk at the
-    minimum Tc) must fit the VMEM budget."""
+    minimum Tc) must fit the VMEM budget.  The stream buffers live in the
+    *io* dtype (``birnn_io_dtype``), which may be wider than the compute
+    dtype — budget them at their real itemsize."""
     h_pad = _round_up(hidden_dim, _LANE)
     item = jnp.dtype(compute_dtype).itemsize
+    s_item = jnp.dtype(io_dtype or compute_dtype).itemsize
     w_bytes = h_pad * h_pad * item
-    min_stream = 3 * 2 * 8 * 16 * h_pad * item   # 3 streams, 2 buffers, Tc=8, Bb=16
+    min_stream = 3 * 2 * 8 * 16 * h_pad * s_item  # 3 streams, 2 bufs, Tc=8, Bb=16
     return w_bytes + min_stream + 4 * h_pad * 16 <= _VMEM_BUDGET
 
 

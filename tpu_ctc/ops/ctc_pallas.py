@@ -290,7 +290,11 @@ def ctc_loss_from_log_probs(log_probs: jnp.ndarray,
     # then lowers to an MXU matmul instead of a serialized scatter-add
     # (which dominated the backward pass: 22 ms -> ~6 ms at T=1600,L=120).
     onehot = (ext[:, :, None] == jnp.arange(a)[None, None, :])  # [B, S0, A]
-    emit = jnp.einsum("bta,bsa->bts", log_probs.astype(jnp.float32),
+    # Finitize first: -inf * 0.0 in the einsum would turn masked-vocab
+    # entries into NaN and poison every lattice state of that row.  The
+    # NEG_INF sentinel is already "dead" to the kernel's log-sum-exps.
+    finite_lp = jnp.maximum(log_probs.astype(jnp.float32), NEG_INF)
+    emit = jnp.einsum("bta,bsa->bts", finite_lp,
                       onehot.astype(jnp.float32),
                       preferred_element_type=jnp.float32)     # [B, T, S0]
     s_idx = jnp.arange(s0)[None, :]

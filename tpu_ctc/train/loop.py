@@ -194,11 +194,15 @@ def train(cfg: Config,
                     t_win, audio_win, steps_win = time.time(), 0.0, 0
                 if cfg.train.checkpoint_every and \
                         step % cfg.train.checkpoint_every == 0:
+                    t0 = time.time()
                     ckpt_lib.save(manager, state, epoch, cursor + 1)
+                    t_win += time.time() - t0     # exclude save from window
                 if (eval_loader is not None and cfg.train.eval_every
                         and step % cfg.train.eval_every == 0):
+                    t0 = time.time()
                     ev = evaluate(state.params, cfg, eval_loader, eval_step)
                     logger.log(kind="eval", step=step, **ev)
+                    t_win += time.time() - t0     # exclude eval from window
             logger.log(kind="epoch_end", epoch=epoch,
                        wall_s=time.time() - t_start)
     guard.restore()

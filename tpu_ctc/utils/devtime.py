@@ -21,17 +21,34 @@ import numpy as np
 
 
 def _device_exec_ms(trace_dir: str) -> float:
-    """Sum device-side top-level jit execution durations (ms) in a trace."""
+    """Sum device-side top-level jit execution durations (ms) in a trace.
+
+    Events are attributed by the trace's *process track*: only events on
+    pids whose ``process_name`` metadata names a device (``/device:`` or
+    ``TPU``) are counted, so host-side events that happen to carry a
+    jit-prefixed name can't be double-counted.  Falls back to the name
+    heuristic only if the trace has no device track metadata.
+    """
     paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz"))
     total_us = 0.0
     for path in paths:
         with gzip.open(path, "rt") as f:
             trace = json.load(f)
-        for e in trace.get("traceEvents", []):
+        events = trace.get("traceEvents", [])
+        dev_pids = set()
+        for e in events:
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pname = str(e.get("args", {}).get("name", ""))
+                if "/device:" in pname or "TPU" in pname:
+                    dev_pids.add(e.get("pid"))
+        for e in events:
+            if e.get("ph") != "X" or "dur" not in e:
+                continue
             name = e.get("name", "")
+            on_device = (e.get("pid") in dev_pids) if dev_pids else True
             # Device executions are named jit_<fn>(<fingerprint>); host-side
             # dispatch shows as PjitFunction(...) and python frames as $...
-            if (e.get("ph") == "X" and "dur" in e and name.startswith("jit")
+            if (on_device and name.startswith("jit")
                     and not name.startswith("jit_convert")):
                 total_us += e["dur"]
     return total_us / 1e3
