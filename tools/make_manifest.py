@@ -8,18 +8,28 @@ manifests.  Here corpora are described by a JSONL manifest consumed by
 STFT/log-mel frontend (waveform mode) or from precomputed ``.npy``
 matrices (feature mode).
 
+Raw corpus trees ingest with ZERO external steps: RIFF-WAV and
+NIST-SPHERE files (TIMIT's ``.WAV`` is SPHERE pcm16; Switchboard is
+SPHERE ulaw) are parsed by :mod:`tpu_ctc.data.audio_io` — no sph2pipe,
+no sox, no Kaldi.  ``.npy`` waveforms/features still work.
+
 Supported layouts:
 
-  * ``--layout dir``   — a directory of ``<utt>.npy`` (1-D waveform or
-    [T, D] features; detected by ndim) with ``<utt>.txt`` transcripts
-    alongside.
+  * ``--layout dir``   — a directory of ``<utt>.{wav,sph,npy}`` (npy: 1-D
+    waveform or [T, D] features, detected by ndim) with ``<utt>.txt``
+    transcripts alongside.
   * ``--layout tsv``    — a TSV file: ``utt_id<TAB>path<TAB>transcript``.
-  * ``--layout timit``  — TIMIT-style tree: ``*.WAV.npy`` converted audio
-    next to ``*.TXT`` prompts (start/end sample numbers stripped).
+  * ``--layout timit``  — a raw TIMIT tree: ``*.WAV`` (NIST-SPHERE or
+    RIFF; ``*.WAV.npy`` pre-converted also accepted) next to ``*.TXT``
+    prompts (start/end sample numbers stripped).
+
+Every record carries length metadata (``samples`` at the file's native
+rate plus ``rate``, or ``frames`` for feature matrices) read from
+container HEADERS only, so downstream bucketing never touches payloads.
 
 Usage:
-  python tools/make_manifest.py --layout dir --src /data/utts \
-      --out manifests/train --split train [--val-frac 0.05]
+  python tools/make_manifest.py --layout timit --src /data/timit/train \
+      --out manifests/timit --split train [--val-frac 0.05]
 """
 from __future__ import annotations
 
@@ -32,8 +42,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tpu_ctc.data import audio_io  # noqa: E402
 from tpu_ctc.data.alphabet import DEFAULT_ALPHABET  # noqa: E402
 from tpu_ctc.data.manifest import write_manifest  # noqa: E402
+
+AUDIO_EXTS = (".wav", ".sph", ".npy")
 
 
 def normalize_text(text: str) -> str:
@@ -44,22 +57,46 @@ def normalize_text(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
-def records_from_dir(src: str):
-    for npy in sorted(glob.glob(os.path.join(src, "*.npy"))):
-        utt = os.path.splitext(os.path.basename(npy))[0]
-        txt = os.path.join(src, utt + ".txt")
-        if not os.path.exists(txt):
-            continue
-        text = normalize_text(open(txt).read())
-        if not text:
-            continue
-        import numpy as np
-        arr = np.load(npy, mmap_mode="r")
-        key = "audio" if arr.ndim == 1 else "feats"
-        yield {"id": utt, key: os.path.relpath(npy, src), "text": text}
+def _record_for(utt: str, path: str, text: str, rel_to: str = None) -> dict:
+    """Build one manifest record with header-only length metadata.
+
+    Paths are stored relative to ``rel_to`` (the manifest output dir —
+    the loader resolves relative paths against the manifest's own
+    directory) or absolute when no base is given.
+    """
+    import numpy as np
+    path = os.path.abspath(path)
+    stored = os.path.relpath(path, rel_to) if rel_to else path
+    if path.lower().endswith(".npy"):
+        arr = np.load(path, mmap_mode="r")
+        if arr.ndim >= 2:
+            return {"id": utt, "feats": stored, "text": text,
+                    "frames": int(arr.shape[0])}
+        return {"id": utt, "audio": stored, "text": text,
+                "samples": int(arr.shape[0])}
+    n, rate = audio_io.audio_info(path)
+    return {"id": utt, "audio": stored, "text": text,
+            "samples": n, "rate": rate}
 
 
-def records_from_tsv(src: str):
+def records_from_dir(src: str, out: str = None):
+    seen = set()
+    for ext in AUDIO_EXTS:
+        for path in sorted(glob.glob(os.path.join(src, f"*{ext}"))):
+            utt = os.path.splitext(os.path.basename(path))[0]
+            if utt in seen:
+                continue
+            txt = os.path.join(src, utt + ".txt")
+            if not os.path.exists(txt):
+                continue
+            text = normalize_text(open(txt).read())
+            if not text:
+                continue
+            seen.add(utt)
+            yield _record_for(utt, path, text, rel_to=out)
+
+
+def records_from_tsv(src: str, out: str = None):
     base = os.path.dirname(os.path.abspath(src))
     for line in open(src):
         parts = line.rstrip("\n").split("\t")
@@ -69,26 +106,34 @@ def records_from_tsv(src: str):
         text = normalize_text(text)
         if not text:
             continue
-        import numpy as np
         full = path if os.path.isabs(path) else os.path.join(base, path)
-        arr = np.load(full, mmap_mode="r")
-        key = "audio" if arr.ndim == 1 else "feats"
-        yield {"id": utt, key: full, "text": text}
+        yield _record_for(utt, full, text, rel_to=out)
 
 
-def records_from_timit(src: str):
-    for npy in sorted(glob.glob(os.path.join(src, "**", "*.WAV.npy"),
-                                recursive=True)):
-        txt = npy.replace(".WAV.npy", ".TXT")
-        if not os.path.exists(txt):
+def records_from_timit(src: str, out: str = None):
+    """Raw TIMIT tree: *.WAV (SPHERE/RIFF) or pre-converted *.WAV.npy."""
+    paths = sorted(
+        glob.glob(os.path.join(src, "**", "*.WAV"), recursive=True)
+        + glob.glob(os.path.join(src, "**", "*.wav"), recursive=True)
+        + glob.glob(os.path.join(src, "**", "*.WAV.npy"), recursive=True))
+    seen = set()
+    for path in paths:
+        stem = path[:-len(".WAV.npy")] if path.endswith(".WAV.npy") \
+            else os.path.splitext(path)[0]
+        if stem in seen:
             continue
+        txt = stem + ".TXT"
+        if not os.path.exists(txt):
+            txt = stem + ".txt"
+            if not os.path.exists(txt):
+                continue
         raw = open(txt).read().split(None, 2)
         text = normalize_text(raw[2] if len(raw) >= 3 else "")
         if not text:
             continue
-        utt = os.path.relpath(npy, src).replace(os.sep, "_")\
-            .replace(".WAV.npy", "").lower()
-        yield {"id": utt, "audio": os.path.relpath(npy, src), "text": text}
+        seen.add(stem)
+        utt = os.path.relpath(stem, src).replace(os.sep, "_").lower()
+        yield _record_for(utt, path, text, rel_to=out)
 
 
 def main(argv=None):
@@ -104,7 +149,7 @@ def main(argv=None):
 
     gen = {"dir": records_from_dir, "tsv": records_from_tsv,
            "timit": records_from_timit}[args.layout]
-    records = list(gen(args.src))
+    records = list(gen(args.src, os.path.abspath(args.out)))
     if not records:
         print("no records found", file=sys.stderr)
         return 1

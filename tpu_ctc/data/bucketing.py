@@ -91,10 +91,18 @@ class BucketedLoader:
         self.cfg = cfg
         self.host_id = host_id
         self.num_hosts = num_hosts
-        self.dataset = list(dataset)
+        # Lazy datasets (ManifestDataset) are kept as-is: list() would read
+        # every payload, defeating the streaming path.  Anything indexable
+        # passes through; generators are materialized.
+        self.dataset = dataset if hasattr(dataset, "__getitem__") else list(dataset)
         self.num_dropped = 0
         self._bucket_items: List[List[int]] = [[] for _ in cfg.bucket_boundaries]
-        self._lengths = np.array([len(f) for f, _ in self.dataset])
+        if hasattr(self.dataset, "frame_lengths"):
+            # Metadata-only lengths: bucket a 300h corpus without touching
+            # audio payloads (SURVEY.md C7 at configs 3/5).
+            self._lengths = np.asarray(self.dataset.frame_lengths)
+        else:
+            self._lengths = np.array([len(f) for f, _ in self.dataset])
         for i, t in enumerate(self._lengths):
             b = _bucket_for(int(t), cfg.bucket_boundaries)
             if b is None:
