@@ -91,8 +91,8 @@ def cmd_train(args):
     elif args.synthetic:
         data, _ = _synthetic_data(cfg, args.synthetic)
     else:
-        from tpu_ctc.data.manifest import load_manifest_dataset
-        data = load_manifest_dataset(args.data, cfg)
+        from tpu_ctc.data.manifest import ManifestDataset
+        data = ManifestDataset(args.data, cfg)  # lazy: payloads stream per batch
     n_eval = max(len(data) // 10, 1)
     state, metrics = train(cfg, data[n_eval:], eval_data=data[:n_eval],
                            work_dir=args.work_dir, resume=args.resume)
@@ -100,12 +100,27 @@ def cmd_train(args):
     return 0
 
 
+def _utt_ids(data):
+    """Utterance-id per dataset index (manifest ids when available)."""
+    records = getattr(data, "records", None)
+    if records is not None:
+        return [r["id"] for r in records]
+    return [f"utt{i:05d}" for i in range(len(data))]
+
+
 def cmd_decode(args):
-    import jax
+    """Eval job: decode → CER/WER (+ optional trn emission for rescoring).
+
+    The reference's eval path dumped hyps and shelled out to sclite
+    (SURVEY.md C13, §3.3); here one command goes from checkpoint to
+    corpus WER with sub/ins/del, and ``--hyp-out`` writes ref.trn/hyp.trn
+    for offline scoring with ``tools/score.py`` / ``cli score``.
+    """
+    import os
 
     from tpu_ctc.data.alphabet import DEFAULT_ALPHABET
     from tpu_ctc.data.bucketing import BucketedLoader
-    from tpu_ctc.decode.wer import cer
+    from tpu_ctc.decode.wer import format_score_line, score_corpus, write_trn
     from tpu_ctc.parallel.mesh import make_mesh
     from tpu_ctc.train import checkpoint as ckpt_lib
     from tpu_ctc.train.loop import batch_to_device_dict
@@ -118,8 +133,8 @@ def cmd_decode(args):
     elif args.synthetic:
         data, alphabet = _synthetic_data(cfg, args.synthetic)
     else:
-        from tpu_ctc.data.manifest import load_manifest_dataset
-        data = load_manifest_dataset(args.data, cfg)
+        from tpu_ctc.data.manifest import ManifestDataset
+        data = ManifestDataset(args.data, cfg)
 
     state = create_train_state(cfg)
     if args.checkpoint:
@@ -132,7 +147,8 @@ def cmd_decode(args):
 
     mesh = make_mesh(cfg.mesh)
     loader = BucketedLoader(data, cfg.data)
-    refs, hyps = [], []
+    ids = _utt_ids(data)
+    ref_texts, hyp_texts = {}, {}
     if args.beam:
         from tpu_ctc.decode.beam import make_beam_decoder
         from tpu_ctc.decode.lm import train_char_lm_from_data
@@ -155,12 +171,34 @@ def cmd_decode(args):
             hyp, hyp_len = np.asarray(hyp), np.asarray(hyp_len)
             for b in range(len(hyp)):
                 if batch.weights[b] > 0:
-                    refs.append(list(batch.labels[b][:batch.label_lengths[b]]))
-                    hyps.append(list(hyp[b][:hyp_len[b]]))
-    print(f"decoded {len(hyps)} utterances  CER={cer(refs, hyps):.4f}")
-    for r, h in list(zip(refs, hyps))[:5]:
-        print("  ref:", alphabet.decode(r))
-        print("  hyp:", alphabet.decode(h))
+                    utt = ids[int(batch.utt_indices[b])]
+                    ref_texts[utt] = alphabet.decode(
+                        batch.labels[b][:batch.label_lengths[b]])
+                    hyp_texts[utt] = alphabet.decode(hyp[b][:hyp_len[b]])
+
+    wer_totals, _ = score_corpus(ref_texts, hyp_texts, "word")
+    cer_totals, _ = score_corpus(ref_texts, hyp_texts, "char")
+    print(f"decoded {len(hyp_texts)} utterances")
+    print(format_score_line(wer_totals, "word"))
+    print(format_score_line(cer_totals, "char"))
+    for utt in sorted(ref_texts)[:5]:
+        print("  ref:", ref_texts[utt])
+        print("  hyp:", hyp_texts[utt])
+    if args.hyp_out:
+        os.makedirs(args.hyp_out, exist_ok=True)
+        write_trn(os.path.join(args.hyp_out, "ref.trn"), ref_texts)
+        write_trn(os.path.join(args.hyp_out, "hyp.trn"), hyp_texts)
+        print(f"wrote {args.hyp_out}/ref.trn and hyp.trn")
+    return 0
+
+
+def cmd_score(args):
+    from tpu_ctc.decode.wer import format_score_line, parse_trn, score_corpus
+    refs = parse_trn(args.ref)
+    hyps = parse_trn(args.hyp)
+    for unit in (["word", "char"] if args.unit == "both" else [args.unit]):
+        totals, _ = score_corpus(refs, hyps, unit)
+        print(format_score_line(totals, unit))
     return 0
 
 
@@ -195,7 +233,15 @@ def main(argv=None):
     d.add_argument("--checkpoint")
     d.add_argument("--beam", action="store_true",
                    help="prefix beam search instead of greedy")
+    d.add_argument("--hyp-out", default=None,
+                   help="directory to write ref.trn/hyp.trn for scoring")
     d.set_defaults(fn=cmd_decode)
+
+    sc = sub.add_parser("score")
+    sc.add_argument("--ref", required=True)
+    sc.add_argument("--hyp", required=True)
+    sc.add_argument("--unit", choices=["word", "char", "both"], default="both")
+    sc.set_defaults(fn=cmd_score)
 
     pc = sub.add_parser("print-config", parents=[common])
     pc.set_defaults(fn=cmd_print_config)

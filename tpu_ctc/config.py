@@ -142,6 +142,10 @@ class TrainConfig:
     log_every: int = 10
     checkpoint_every: int = 200
     eval_every: int = 200
+    # Eval with prefix beam search + corpus WER every eval (expensive) in
+    # addition to greedy CER; the reference only ever greedy-CER'd during
+    # training and beam-decoded offline (SURVEY.md §3.3).
+    eval_beam: bool = False
     checkpoint_dir: str = "checkpoints"
     metrics_path: str = "metrics.jsonl"
     keep_checkpoints: int = 3

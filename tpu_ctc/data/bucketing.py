@@ -32,6 +32,11 @@ class Batch:
     # Number of genuine utterances (< B when the tail batch is padded with
     # repeats; repeated rows have weight 0).
     weights: np.ndarray        # [B] float32
+    # Dataset index per row (repeated-tail rows keep the repeated index but
+    # carry weight 0); -1 when the batch was built without indices.  Host
+    # metadata only — never shipped to device.  Lets eval jobs map hyps
+    # back to utterance ids for trn emission (SURVEY.md C13 scoring).
+    utt_indices: np.ndarray = None  # [B] int64
 
     @property
     def shape_key(self) -> Tuple[int, int, int]:
@@ -54,7 +59,8 @@ def _label_pad_for(bucket_frames: int, max_label_len: int) -> int:
 
 
 def make_batch(utts: List[Tuple[np.ndarray, np.ndarray]],
-               t_pad: int, l_pad: int, batch_size: int) -> Batch:
+               t_pad: int, l_pad: int, batch_size: int,
+               indices: Optional[Sequence[int]] = None) -> Batch:
     """Pad a list of (feats [T,D], labels [L]) to one static-shape Batch."""
     n = len(utts)
     assert 0 < n <= batch_size
@@ -74,7 +80,12 @@ def make_batch(utts: List[Tuple[np.ndarray, np.ndarray]],
         labels[i, :ll] = l
         l_len[i] = ll
         weights[i] = 1.0 if i < n else 0.0
-    return Batch(feats, mask, f_len, labels, l_len, weights)
+    if indices is None:
+        utt_idx = np.full(batch_size, -1, dtype=np.int64)
+    else:
+        utt_idx = np.asarray([indices[i % n] for i in range(batch_size)],
+                             dtype=np.int64)
+    return Batch(feats, mask, f_len, labels, l_len, weights, utt_idx)
 
 
 class BucketedLoader:
@@ -141,7 +152,8 @@ class BucketedLoader:
             t_pad = cfg.bucket_boundaries[b]
             l_pad = _label_pad_for(t_pad, cfg.max_label_len)
             utts = [self.dataset[i] for i in ids]
-            yield cursor, make_batch(utts, t_pad, l_pad, cfg.batch_size)
+            yield cursor, make_batch(utts, t_pad, l_pad, cfg.batch_size,
+                                     indices=ids)
 
     def shape_keys(self) -> List[Tuple[int, int, int]]:
         """All (B, T_pad, L_pad) shapes jit will ever see (compile-cache bound)."""

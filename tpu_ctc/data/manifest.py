@@ -81,7 +81,9 @@ class ManifestDataset:
     def __len__(self) -> int:
         return len(self.records)
 
-    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return DatasetView(self, range(*i.indices(len(self))))
         if i in self._cache:
             return self._cache[i]
         rec = self.records[i]
@@ -180,6 +182,32 @@ def _jit_extract(fe_cfg):
         return F.extract_features(x, fe_cfg, sample_lengths=sl)
 
     return jax.jit(run)
+
+
+class DatasetView:
+    """Lazy index-remapped view of a ManifestDataset (slices/splits stay
+    streaming; no payload reads)."""
+
+    def __init__(self, base, indices):
+        self.base = base
+        self.indices = list(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return DatasetView(self.base, [self.indices[j]
+                                           for j in range(*i.indices(len(self)))])
+        return self.base[self.indices[i]]
+
+    @property
+    def frame_lengths(self) -> np.ndarray:
+        return np.asarray(self.base.frame_lengths)[self.indices]
+
+    @property
+    def records(self):
+        return [self.base.records[i] for i in self.indices]
 
 
 class _cpu_default_device:

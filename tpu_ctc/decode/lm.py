@@ -93,7 +93,12 @@ def train_char_lm_from_data(dataset, cfg) -> Optional[NGramCharLM]:
     """Convenience: train the decode-config LM from (feats, labels) pairs."""
     if cfg.decode.lm_order <= 0:
         return None
-    seqs = [labels for _, labels in dataset]
+    if hasattr(dataset, "_labels"):      # lazy ManifestDataset: labels are
+        seqs = list(dataset._labels)     # already decoded — no payload reads
+    elif hasattr(dataset, "base"):       # DatasetView over a lazy dataset
+        seqs = [dataset.base._labels[i] for i in dataset.indices]
+    else:
+        seqs = [labels for _, labels in dataset]
     return train_ngram_lm(seqs, cfg.model.vocab_size,
                           order=cfg.decode.lm_order)
 

@@ -55,6 +55,99 @@ def wer(refs: List[str], hyps: List[str]) -> float:
     return errs / max(total, 1)
 
 
+def align_counts(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int]:
+    """(substitutions, insertions, deletions) from a Levenshtein backtrace.
+
+    The sclite-style breakdown of the eval2000 scoring path (SURVEY.md
+    C13); corpus scoring in :func:`score_corpus` totals these per token.
+    """
+    ref, hyp = list(ref), list(hyp)
+    n, m = len(ref), len(hyp)
+    d = np.zeros((n + 1, m + 1), np.int64)
+    d[:, 0] = np.arange(n + 1)
+    d[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        d[i, 1:] = np.minimum(d[i - 1, 1:] + 1,
+                              d[i - 1, :-1] + (np.asarray(hyp) != ref[i - 1]))
+        for j in range(1, m + 1):
+            if d[i, j - 1] + 1 < d[i, j]:
+                d[i, j] = d[i, j - 1] + 1
+    i, j = n, m
+    sub = ins = dele = 0
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and d[i, j] == d[i - 1, j - 1] \
+                and ref[i - 1] == hyp[j - 1]:
+            i, j = i - 1, j - 1
+        elif i > 0 and j > 0 and d[i, j] == d[i - 1, j - 1] + 1:
+            sub += 1
+            i, j = i - 1, j - 1
+        elif j > 0 and d[i, j] == d[i, j - 1] + 1:
+            ins += 1
+            j -= 1
+        else:
+            dele += 1
+            i -= 1
+    return sub, ins, dele
+
+
+def score_corpus(refs: dict, hyps: dict, unit: str = "word"):
+    """Corpus WER/CER with sub/ins/del totals over {utt_id: text} dicts."""
+    tok = (lambda s: s.split()) if unit == "word" else (lambda s: list(s))
+    totals = {"sub": 0, "ins": 0, "del": 0, "ref_tokens": 0, "utts": 0,
+              "missing_hyps": 0}
+    per_utt = {}
+    for utt, ref_text in sorted(refs.items()):
+        hyp_text = hyps.get(utt)
+        if hyp_text is None:
+            totals["missing_hyps"] += 1
+            hyp_text = ""
+        r, h = tok(ref_text), tok(hyp_text)
+        s, i, d = align_counts(r, h)
+        totals["sub"] += s
+        totals["ins"] += i
+        totals["del"] += d
+        totals["ref_tokens"] += len(r)
+        totals["utts"] += 1
+        per_utt[utt] = (s + i + d) / max(len(r), 1)
+    errs = totals["sub"] + totals["ins"] + totals["del"]
+    totals["error_rate"] = errs / max(totals["ref_tokens"], 1)
+    return totals, per_utt
+
+
+def parse_trn(path: str) -> dict:
+    """Parse trn ("text (utt)") or tsv ("utt\\ttext") transcript files."""
+    import re
+    out = {}
+    for line in open(path):
+        line = line.rstrip("\n").strip()
+        if not line:
+            continue
+        m = re.match(r"^(.*)\(([^()]+)\)\s*$", line)
+        if m:
+            out[m.group(2).strip()] = m.group(1).strip().lower()
+        elif "\t" in line:
+            utt, text = line.split("\t", 1)
+            out[utt.strip()] = text.strip().lower()
+        else:
+            raise ValueError(f"unparseable line in {path}: {line!r}")
+    return out
+
+
+def write_trn(path: str, transcripts: dict) -> None:
+    """Write {utt_id: text} as an sclite-style trn file."""
+    with open(path, "w") as f:
+        for utt in sorted(transcripts):
+            f.write(f"{transcripts[utt]} ({utt})\n")
+
+
+def format_score_line(totals: dict, unit: str = "word") -> str:
+    name = "WER" if unit == "word" else "CER"
+    return (f"{name} {100 * totals['error_rate']:.2f}%  "
+            f"[sub {totals['sub']} ins {totals['ins']} del {totals['del']} "
+            f"/ {totals['ref_tokens']} {unit}s, {totals['utts']} utts, "
+            f"{totals['missing_hyps']} missing hyps]")
+
+
 def batched_edit_distance(refs: jnp.ndarray, ref_lens: jnp.ndarray,
                           hyps: jnp.ndarray, hyp_lens: jnp.ndarray) -> jnp.ndarray:
     """On-device batched Levenshtein over padded id sequences.

@@ -87,25 +87,49 @@ def batch_to_device_dict(batch: Batch) -> Dict[str, np.ndarray]:
 
 
 def evaluate(params, cfg: Config, loader: BucketedLoader, eval_step,
-             alphabet=None, max_batches: Optional[int] = None
-             ) -> Dict[str, float]:
-    """Greedy-decode CER + mean NLL over an eval set."""
+             alphabet=None, max_batches: Optional[int] = None,
+             beam_decode_fn=None) -> Dict[str, float]:
+    """Greedy-decode CER + mean NLL over an eval set.
+
+    With ``beam_decode_fn`` (train.eval_beam), additionally runs the
+    on-device prefix beam search and reports corpus WER/CER over the
+    decoded text — the full offline eval job (SURVEY.md C13) inline.
+    """
+    from tpu_ctc.data.alphabet import DEFAULT_ALPHABET
+    from tpu_ctc.decode.wer import score_corpus
+    alphabet = alphabet or DEFAULT_ALPHABET
     refs, hyps, nlls, n = [], [], [], 0
+    ref_texts, beam_texts = {}, {}
     for i, (_, batch) in enumerate(loader.epoch(0)):
         if max_batches is not None and i >= max_batches:
             break
-        out = eval_step(params, batch_to_device_dict(batch))
+        bd = batch_to_device_dict(batch)
+        out = eval_step(params, bd)
         hyp = np.asarray(out["hyp"])
         hyp_len = np.asarray(out["hyp_len"])
         nll = np.asarray(out["nll"])
+        if beam_decode_fn is not None:
+            b_hyp, b_len = beam_decode_fn(params, bd)
+            b_hyp, b_len = np.asarray(b_hyp), np.asarray(b_len)
         for b in range(len(hyp)):
             if batch.weights[b] > 0:
-                refs.append(list(batch.labels[b][: batch.label_lengths[b]]))
+                ref_ids = batch.labels[b][: batch.label_lengths[b]]
+                refs.append(list(ref_ids))
                 hyps.append(list(hyp[b][: hyp_len[b]]))
                 nlls.append(float(nll[b]))
+                if beam_decode_fn is not None:
+                    utt = f"e{i}b{b}"
+                    ref_texts[utt] = alphabet.decode(ref_ids)
+                    beam_texts[utt] = alphabet.decode(b_hyp[b][: b_len[b]])
                 n += 1
-    return {"cer": cer(refs, hyps), "nll": float(np.mean(nlls)) if nlls else 0.0,
-            "num_utts": n}
+    result = {"cer": cer(refs, hyps),
+              "nll": float(np.mean(nlls)) if nlls else 0.0, "num_utts": n}
+    if beam_decode_fn is not None and ref_texts:
+        totals, _ = score_corpus(ref_texts, beam_texts, "word")
+        c_totals, _ = score_corpus(ref_texts, beam_texts, "char")
+        result.update(beam_wer=totals["error_rate"],
+                      beam_cer=c_totals["error_rate"])
+    return result
 
 
 def train(cfg: Config,
@@ -147,6 +171,13 @@ def train(cfg: Config,
 
     step_fn, state = make_train_step(cfg, mesh, state)
     eval_step = make_eval_step(cfg, mesh)
+    beam_decode_fn = None
+    if cfg.train.eval_beam and eval_loader is not None:
+        from tpu_ctc.decode.beam import make_beam_decoder
+        from tpu_ctc.decode.lm import train_char_lm_from_data
+        lm = (train_char_lm_from_data(train_data, cfg)
+              if cfg.decode.lm_order else None)
+        beam_decode_fn = make_beam_decoder(cfg, lm=lm)
 
     last_metrics: Dict[str, float] = {}
     t_start = time.time()
@@ -200,7 +231,8 @@ def train(cfg: Config,
                 if (eval_loader is not None and cfg.train.eval_every
                         and step % cfg.train.eval_every == 0):
                     t0 = time.time()
-                    ev = evaluate(state.params, cfg, eval_loader, eval_step)
+                    ev = evaluate(state.params, cfg, eval_loader, eval_step,
+                                  beam_decode_fn=beam_decode_fn)
                     logger.log(kind="eval", step=step, **ev)
                     t_win += time.time() - t0     # exclude eval from window
             logger.log(kind="epoch_end", epoch=epoch,
