@@ -119,13 +119,69 @@ class TestTensorParallel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_tp4_pallas_kernels_match_single_device(self):
+        """The shard_map TP path keeps the fused Pallas recurrence per
+        device (VERDICT r1 item 3): z partials reduce-scatter over batch,
+        the kernel runs on full hidden width, all_to_all restores the
+        H-sharded layout.  Interpret mode stands in for Mosaic on CPU."""
+        def pallas_cfg(mesh):
+            cfg = tiny_config(mesh)
+            return dataclasses.replace(
+                cfg, ctc_impl="pallas",
+                model=dataclasses.replace(cfg.model, birnn_impl="pallas"))
+
+        ref_state, ref_losses = run_steps(
+            pallas_cfg(MeshConfig(data=1, model=1, seq=1)), n_devices=1)
+        tp_state, tp_losses = run_steps(
+            pallas_cfg(MeshConfig(data=2, model=4, seq=1)))
+        np.testing.assert_allclose(ref_losses, tp_losses, rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(tp_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_tp8_deeper_stack_matches_single_device(self):
+        def deep_cfg(mesh):
+            cfg = tiny_config(mesh)
+            return dataclasses.replace(
+                cfg, model=dataclasses.replace(
+                    cfg.model, num_pre_layers=2, num_bi_layers=2,
+                    num_post_layers=1))
+
+        ref_state, ref_losses = run_steps(
+            deep_cfg(MeshConfig(data=1, model=1, seq=1)), n_devices=1)
+        tp_state, tp_losses = run_steps(
+            deep_cfg(MeshConfig(data=1, model=8, seq=1)))
+        np.testing.assert_allclose(ref_losses, tp_losses, rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(tp_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_params_actually_sharded(self):
         cfg = tiny_config(MeshConfig(data=1, model=8, seq=1))
         mesh = mesh_lib.make_mesh(cfg.mesh)
         state = create_train_state(cfg)
         _, state = make_train_step(cfg, mesh, state)
         w = state.params["bi"][0]["w"]
-        # bi-layer input projection is (hidden, hidden), hidden dim sharded
-        # over 'model': each shard holds 1/8 of the columns.
+        # bi-layer input projection is (hidden, hidden), row-parallel:
+        # each shard holds 1/8 of the input rows (H/n, H).
         shard_shapes = {s.data.shape for s in w.addressable_shards}
-        assert shard_shapes == {(32, 32 // 8)}
+        assert shard_shapes == {(32 // 8, 32)}
+        # recurrent matrices stay replicated whole (the fused kernel's
+        # VMEM-resident operand).
+        wf = state.params["bi"][0]["wf"]
+        assert {s.data.shape for s in wf.addressable_shards} == {(32, 32)}
+
+    def test_tp_validation_errors(self):
+        from tpu_ctc.parallel.tensor_parallel import validate_tp
+        cfg = tiny_config(MeshConfig(data=1, model=8, seq=1))
+        bad_hidden = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, hidden_dim=36))
+        mesh = mesh_lib.make_mesh(cfg.mesh)
+        with pytest.raises(ValueError, match="hidden_dim"):
+            validate_tp(bad_hidden, mesh)
+        bad_pre = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, num_pre_layers=0))
+        with pytest.raises(ValueError, match="num_pre_layers"):
+            validate_tp(bad_pre, mesh)

@@ -134,7 +134,7 @@ def cmd_decode(args):
         data, alphabet = _synthetic_data(cfg, args.synthetic)
     else:
         from tpu_ctc.data.manifest import ManifestDataset
-        data = ManifestDataset(args.data, cfg)
+        data = ManifestDataset(args.data, cfg, split=args.split)
 
     state = create_train_state(cfg)
     if args.checkpoint:
@@ -152,7 +152,14 @@ def cmd_decode(args):
     if args.beam:
         from tpu_ctc.decode.beam import make_beam_decoder
         from tpu_ctc.decode.lm import train_char_lm_from_data
-        lm = (train_char_lm_from_data(data, cfg) if cfg.decode.lm_order
+        # The LM trains on the TRAIN split's transcripts, never on the
+        # split being decoded (matches the papers' protocol).
+        lm_data = data
+        if not args.synthetic and not getattr(args, "synthetic_audio", 0) \
+                and args.split != "train":
+            from tpu_ctc.data.manifest import ManifestDataset
+            lm_data = ManifestDataset(args.data, cfg, split="train")
+        lm = (train_char_lm_from_data(lm_data, cfg) if cfg.decode.lm_order
               else None)
         decode_fn = make_beam_decoder(cfg, lm=lm)
     else:
@@ -235,6 +242,8 @@ def main(argv=None):
                    help="prefix beam search instead of greedy")
     d.add_argument("--hyp-out", default=None,
                    help="directory to write ref.trn/hyp.trn for scoring")
+    d.add_argument("--split", default="train",
+                   help="manifest split to decode (e.g. valid)")
     d.set_defaults(fn=cmd_decode)
 
     sc = sub.add_parser("score")

@@ -184,6 +184,17 @@ def _bi_layer_tm(x_t, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
     ``cfg.bidirectional=False`` runs the forward direction only — the
     reference's earlier-gen unidirectional family (rnn/rnnet.py)."""
     z = _dense(x_t, layer, cfg, activate=False)
+    return bi_recur_tm(z, layer["wf"], layer["wb"], mask, cfg)
+
+
+def bi_recur_tm(z, wf, wb, mask, cfg: ModelConfig) -> jnp.ndarray:
+    """Recurrence-only core from a precomputed projection z [T, B, H]:
+    f + b sweeps with impl dispatch (fused Pallas kernel or XLA scan).
+
+    Factored out of :func:`_bi_layer_tm` so the shard_map tensor-parallel
+    path (:mod:`tpu_ctc.parallel.tensor_parallel`) can feed it a
+    reduce-scattered z while keeping the fused kernel per device.
+    """
     if resolve_birnn_impl(cfg) == "pallas":
         from tpu_ctc.ops import birnn_pallas
         rec = functools.partial(birnn_pallas.bi_recurrence,
@@ -194,7 +205,7 @@ def _bi_layer_tm(x_t, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
                                 bidirectional=cfg.bidirectional)
         if cfg.remat:
             rec = jax.checkpoint(rec)
-        return rec(z, layer["wf"], layer["wb"], mask)
+        return rec(z, wf, wb, mask)
     m_t = jnp.moveaxis(mask, 1, 0)[..., None]
     h0 = jnp.zeros((z.shape[1], z.shape[2]), dtype=jnp.float32)
 
@@ -203,10 +214,10 @@ def _bi_layer_tm(x_t, layer, mask, cfg: ModelConfig) -> jnp.ndarray:
 
     if cfg.remat:
         rec = jax.checkpoint(rec, static_argnums=(3,))
-    fwd = rec(z, layer["wf"], m_t, False)
+    fwd = rec(z, wf, m_t, False)
     if not cfg.bidirectional:
         return fwd
-    return fwd + rec(z, layer["wb"], m_t, True)
+    return fwd + rec(z, wb, m_t, True)
 
 
 def forward(params: Params, cfg: ModelConfig, feats: jnp.ndarray,
@@ -245,26 +256,41 @@ def log_posteriors(params: Params, cfg: ModelConfig, feats, frame_mask=None):
 def param_partition_specs(cfg: ModelConfig) -> Params:
     """PartitionSpec pytree matching :func:`init_params`'s structure.
 
-    Strategy per SURVEY.md §7.3-3: shard the *input projections* (batched
-    over T, collective-free) on the hidden/output dim over 'model'; the
-    square recurrent matrices are sharded on their input dim so the per-step
-    matmul reduces over the sharded axis with one psum, keeping the hidden
-    state replicated across the 'model' axis.
-    """
-    def dense_spec(shard_out: bool):
-        return {"w": P(None, AXIS_MODEL) if shard_out else P(AXIS_MODEL, None),
-                "b": P(AXIS_MODEL) if shard_out else P(None)}
+    Layout chosen for the shard_map TP path
+    (:mod:`tpu_ctc.parallel.tensor_parallel`), which keeps activations
+    H-sharded between layers (SURVEY.md §7.3-3):
 
+      * ``pre[0]``: column-parallel ([D, H/n]) — replicated feats in,
+        H-sharded activations out, collective-free.
+      * other dense layers: row-parallel ([H/n, H]) — consume H-sharded
+        input, reduce-scatter the partial sums back to H-sharded.
+      * ``bi[l].w``: row-parallel; its partials reduce-scatter over the
+        BATCH so each model-shard runs the fused recurrence kernel on its
+        own batch rows with the full hidden state (recurrence wall-clock
+        scales 1/n instead of being replicated).
+      * ``bi[l].wf/wb`` and biases feeding full-H tensors: replicated.
+
+    The same specs drive GSPMD paths (eval/decode under TP): XLA inserts
+    whatever collectives this layout needs there.
+    """
+    def col_spec():
+        return {"w": P(None, AXIS_MODEL), "b": P(AXIS_MODEL)}
+
+    def row_spec():
+        return {"w": P(AXIS_MODEL, None), "b": P(AXIS_MODEL)}
+
+    pre = [col_spec() if i == 0 else row_spec()
+           for i in range(cfg.num_pre_layers)]
     specs: Params = {
-        "pre": [dense_spec(True) for _ in range(cfg.num_pre_layers)],
+        "pre": pre,
         "bi": [],
-        "post": [dense_spec(True) for _ in range(cfg.num_post_layers)],
+        "post": [row_spec() for _ in range(cfg.num_post_layers)],
         "out": {"w": P(AXIS_MODEL, None), "b": P(None)},
     }
     for _ in range(cfg.num_bi_layers):
         specs["bi"].append({
-            "w": P(None, AXIS_MODEL), "b": P(AXIS_MODEL),
-            "wf": P(AXIS_MODEL, None), "wb": P(AXIS_MODEL, None),
+            "w": P(AXIS_MODEL, None), "b": P(None),
+            "wf": P(None, None), "wb": P(None, None),
         })
     return specs
 

@@ -87,17 +87,16 @@ def _uses_sp(mesh: Mesh) -> bool:
 
 
 def resolve_cfg_for_mesh(cfg: Config, mesh: Mesh) -> Config:
-    """Force the scan recurrence under (non-pipeline) tensor parallelism:
-    that path runs under GSPMD, which cannot partition the fused Pallas
-    BiRNN op over 'model'.  DP/SP/PP evaluate the model inside shard_map
-    (manual mode), where the Pallas kernels run per-device as-is."""
+    """Force the scan recurrence for GSPMD-compiled steps under
+    (non-pipeline) tensor parallelism: GSPMD cannot partition the fused
+    Pallas BiRNN op over 'model'.  Applies only to the plain-jit EVAL /
+    decode paths — the TP train step runs inside shard_map
+    (:mod:`tpu_ctc.parallel.tensor_parallel`) where the fused kernel
+    works per device and this resolution is not used."""
     from tpu_ctc.parallel.mesh import AXIS_MODEL
     tp = dict(mesh.shape).get(AXIS_MODEL, 1) > 1 and not cfg.mesh.pipeline
     if not tp or cfg.model.birnn_impl == "scan":
         return cfg
-    if cfg.model.birnn_impl == "pallas":
-        raise ValueError("model.birnn_impl='pallas' is incompatible with "
-                         "tensor (model-axis) sharding; use 'auto' or 'scan'")
     return cfg.override(**{"model.birnn_impl": "scan"})
 
 
@@ -179,14 +178,21 @@ def make_train_step(cfg: Config, mesh: Mesh, state: TrainState):
     shardings, and step_fn is a jit with explicit in/out shardings so the
     compiler lays out params for TP and inserts the DP gradient psum.
     """
-    cfg = resolve_cfg_for_mesh(cfg, mesh)
+    from tpu_ctc.parallel.mesh import AXIS_MODEL
+    shape = dict(mesh.shape)
+    tp = shape.get(AXIS_MODEL, 1) > 1 and not cfg.mesh.pipeline
+    if tp and cfg.model.birnn_impl == "scan":
+        # Explicit scan request: compile under GSPMD with the param
+        # PartitionSpecs (the round-1 TP route); XLA inserts collectives.
+        cfg = resolve_cfg_for_mesh(cfg, mesh)
+        tp = False
     tx = make_optimizer(cfg.optim)
     st_sh = state_shardings(mesh, cfg, state)
     b_sh = batch_shardings(mesh)
     state = jax.device_put(state, st_sh)
     loss_closure = None
     if cfg.mesh.pipeline:
-        from tpu_ctc.parallel.mesh import AXIS_MODEL, AXIS_SEQ
+        from tpu_ctc.parallel.mesh import AXIS_SEQ
         if dict(mesh.shape).get(AXIS_SEQ, 1) > 1:
             raise NotImplementedError(
                 "pipeline and seq parallelism cannot yet be combined")
@@ -195,15 +201,18 @@ def make_train_step(cfg: Config, mesh: Mesh, state: TrainState):
         from tpu_ctc.parallel.pipeline import make_pp_loss_fn
         loss_closure, _, _ = make_pp_loss_fn(cfg, mesh)
     elif _uses_sp(mesh):
-        from tpu_ctc.parallel.mesh import AXIS_MODEL
         if dict(mesh.shape).get(AXIS_MODEL, 1) > 1:
             raise NotImplementedError(
                 "seq and model parallelism cannot yet be combined")
         from tpu_ctc.parallel.seq_parallel import make_sp_loss_fn
         loss_closure, _ = make_sp_loss_fn(cfg, mesh)
+    elif tp:
+        # shard_map TP (handles the 'data' axis too): keeps the fused
+        # Pallas recurrence per device — SURVEY P2 / VERDICT r1 item 3.
+        from tpu_ctc.parallel.tensor_parallel import make_tp_loss_fn
+        loss_closure = make_tp_loss_fn(cfg, mesh)
     else:
-        from tpu_ctc.parallel.mesh import AXIS_DATA, AXIS_MODEL
-        shape = dict(mesh.shape)
+        from tpu_ctc.parallel.mesh import AXIS_DATA
         if shape.get(AXIS_DATA, 1) > 1 and shape.get(AXIS_MODEL, 1) == 1:
             loss_closure = make_dp_loss_fn(cfg, mesh)
     fn = jax.jit(
