@@ -177,3 +177,69 @@ class TestLM:
         lm1 = train_ngram_lm(seqs, vocab_size=5, order=1)
         lm3 = train_ngram_lm(seqs, vocab_size=5, order=3)
         assert lm_perplexity(lm3, seqs) < lm_perplexity(lm1, seqs)
+
+
+class TestPruning:
+    """char_topk / prune_logp pruning (SURVEY C9: the reference decoder's
+    probability threshold; VERDICT r1 item 4)."""
+
+    def test_full_char_topk_equals_exact(self, rng):
+        t, a, k = 10, 6, 8
+        log_probs = np_log_softmax(rng.randn(t, a) * 1.5)
+        exact = prefix_beam_search(
+            jnp.asarray(log_probs[None].astype(np.float32)),
+            jnp.array([t]), beam_width=k, max_len=t)
+        capped = prefix_beam_search(
+            jnp.asarray(log_probs[None].astype(np.float32)),
+            jnp.array([t]), beam_width=k, max_len=t, char_topk=a - 1)
+        np.testing.assert_array_equal(np.asarray(exact[0]),
+                                      np.asarray(capped[0]))
+        np.testing.assert_allclose(np.asarray(exact[2]),
+                                   np.asarray(capped[2]), rtol=1e-6)
+
+    def test_topk_pruning_matches_host_on_peaked(self, rng):
+        """Strongly peaked posteriors: top-4 char pruning loses nothing."""
+        t, a, k = 12, 8, 8
+        log_probs = np_log_softmax(rng.randn(t, a) * 6.0)
+        h_best, h_score = prefix_beam_search_host(log_probs, beam_width=k)
+        hyps, lens, scores = prefix_beam_search(
+            jnp.asarray(log_probs[None].astype(np.float32)),
+            jnp.array([t]), beam_width=k, max_len=t, char_topk=4)
+        d_best = list(np.asarray(hyps[0])[: int(lens[0])])
+        assert d_best == h_best, (d_best, h_best)
+
+    def test_loose_prune_logp_equals_exact(self, rng):
+        t, a, k = 10, 5, 8
+        log_probs = np_log_softmax(rng.randn(t, a) * 1.5)
+        exact = prefix_beam_search(
+            jnp.asarray(log_probs[None].astype(np.float32)),
+            jnp.array([t]), beam_width=k, max_len=t)
+        pruned = prefix_beam_search(
+            jnp.asarray(log_probs[None].astype(np.float32)),
+            jnp.array([t]), beam_width=k, max_len=t, prune_logp=-1e9)
+        np.testing.assert_array_equal(np.asarray(exact[0]),
+                                      np.asarray(pruned[0]))
+        np.testing.assert_allclose(np.asarray(exact[2]),
+                                   np.asarray(pruned[2]), rtol=1e-6)
+
+    def test_pruned_with_lm_close_to_exact(self, rng):
+        """Pruning + trigram LM on peaked posteriors tracks the exact
+        search (same top-1 on peaked inputs)."""
+        from tpu_ctc.decode.lm import train_ngram_lm
+        t, a, k = 12, 6, 8
+        seqs = [rng.randint(1, a, rng.randint(3, 10)) for _ in range(50)]
+        lm = train_ngram_lm(seqs, vocab_size=a, order=3)
+        log_probs = np_log_softmax(rng.randn(t, a) * 5.0)
+        exact = prefix_beam_search(
+            jnp.asarray(log_probs[None].astype(np.float32)),
+            jnp.array([t]), beam_width=k, max_len=t,
+            lm_table=lm.tables_device(), lm_order=3,
+            lm_alpha=0.7, lm_beta=0.5)
+        pruned = prefix_beam_search(
+            jnp.asarray(log_probs[None].astype(np.float32)),
+            jnp.array([t]), beam_width=k, max_len=t,
+            lm_table=lm.tables_device(), lm_order=3,
+            lm_alpha=0.7, lm_beta=0.5, char_topk=3, prune_logp=-12.0)
+        e_best = list(np.asarray(exact[0][0])[: int(exact[1][0])])
+        p_best = list(np.asarray(pruned[0][0])[: int(pruned[1][0])])
+        assert e_best == p_best

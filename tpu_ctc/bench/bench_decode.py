@@ -43,6 +43,10 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--host-utts", type=int, default=4,
                    help="utterances to run through each host decoder")
+    p.add_argument("--char-topk", type=int, default=0,
+                   help="static per-frame extension-char cap (0 = exact)")
+    p.add_argument("--prune-logp", type=float, default=None,
+                   help="acoustic log-prob pruning threshold")
     args = p.parse_args()
 
     import jax
@@ -60,7 +64,8 @@ def main():
     audio_s = args.batch * args.frames / FRAMES_PER_SECOND
 
     f = jax.jit(lambda x, l: prefix_beam_search(
-        x, l, beam_width=args.beam, max_len=args.max_len))
+        x, l, beam_width=args.beam, max_len=args.max_len,
+        char_topk=args.char_topk, prune_logp=args.prune_logp))
     out = f(lp, fl)
     np.asarray(out[0])          # host fetch = true sync on the TPU tunnel
     t0 = time.time()

@@ -131,7 +131,13 @@ class DecodeConfig:
     lm_alpha: float = 1.0          # LM weight
     lm_beta: float = 1.5           # word/char insertion bonus
     lm_order: int = 3              # char n-gram order (0 disables the LM)
-    prune_logp: float = -12.0      # skip expansion of chars below this log-prob
+    # Acoustic pruning of extension chars (the reference decoder's
+    # probability threshold, SURVEY C9); None disables.
+    prune_logp: Optional[float] = -12.0
+    # Static per-frame extension-char cap: only the top-C chars by
+    # acoustic log-prob become beam extensions (0 = exact, all chars).
+    # Shrinks the per-frame candidate set from K*A to K*(C+1).
+    char_topk: int = 0
 
 
 @dataclass(frozen=True)

@@ -44,6 +44,10 @@ NEG_INF = -1e30
 # Rolling-hash multipliers (odd => invertible mod 2^32, good mixing).
 _H1_MULT = np.uint32(2654435761)
 _H2_MULT = np.uint32(40503)
+# Modular inverses: h_parent = (h - c) * M^-1 recovers the prefix-minus-
+# last-char hash, which is what makes the sort-free duplicate merge work.
+_H1_INV = np.uint32(244002641)
+_H2_INV = np.uint32(1650947975)
 _H1_EMPTY = np.uint32(0x9E3779B9)
 _H2_EMPTY = np.uint32(0x85EBCA6B)
 
@@ -130,13 +134,35 @@ def _lm_scores(lm_table: jnp.ndarray, order: int, last: jnp.ndarray,
 
 def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
                         lm_table, lm_order, lm_alpha, lm_beta,
-                        nlm_params=None):
-    """Beam search for one utterance; vmapped over the batch by the caller."""
+                        nlm_params=None, char_topk=0, prune_logp=None,
+                        unroll=8):
+    """Beam search for one utterance; vmapped over the batch by the caller.
+
+    Duplicate-prefix merging is SORT-FREE: the only possible collision is
+    an extension candidate (prefix_k + c) against the *stay* candidate of
+    a beam j whose string equals it (extensions are pairwise distinct —
+    p+c == q+c' with equal lengths forces (p,c)==(q,c') — and beam
+    prefixes are pairwise distinct by invariant).  Because the rolling
+    hash is invertible ((h - c) * M^-1 recovers the parent's hash), each
+    beam j finds its "mate" k with prefix_k == prefix_j[:-1] by a K x K
+    hash match; the (k, last_j) extension's mass is folded into j's stay
+    candidate and masked out of the grid.  All surviving candidates then
+    carry distinct strings, so one top-k replaces the round-1 design's
+    [K*A] two-key six-payload sort + top-k (the decode bottleneck,
+    VERDICT r1 item 4).
+
+    ``char_topk`` (static) keeps only the top-C non-blank chars of each
+    frame as extension columns — the candidate grid shrinks from [K, A]
+    to [K, C].  0 = exact (all chars).  ``prune_logp`` additionally masks
+    extension chars whose acoustic log-prob is below the threshold (the
+    reference decoder's probability pruning, SURVEY C9; round 1 carried
+    the config field without a consumer).
+    """
     from tpu_ctc.decode import neural_lm
 
     t_total, a = log_probs.shape
     k = beam_width
-    n = k * a
+    c_cols = a - 1 if not char_topk else min(char_topk, a - 1)
 
     beam_ids = jnp.arange(k, dtype=jnp.uint32)
     init = {
@@ -159,99 +185,113 @@ def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
     def step(state, inputs):
         lp, t_i = inputs                                       # lp: [A]
         pb, pnb = state["pb"], state["pnb"]
+        last, plen = state["last"], state["plen"]
         total = _lse2(pb, pnb)                                 # [K]
 
-        # ---- candidate grid [K, A] -----------------------------------
-        is_blank = (chars == blank)[None, :]                   # [1, A]
-        is_last = (chars[None, :] == state["last"][:, None]) \
-            & (state["plen"] > 0)[:, None]
+        # ---- frame-level char preselection ---------------------------
+        lp_ext = jnp.where(chars == blank, NEG_INF, lp)
+        if c_cols < a - 1:
+            lp_sel, chars_sel = jax.lax.top_k(lp_ext, c_cols)  # [C]
+            sel_thresh = lp_sel[-1]          # C-th largest: admission bar
+        else:
+            # exact path: all non-blank chars, in a static order
+            chars_sel = jnp.where(chars < blank, chars, chars + 1)[:a - 1]
+            lp_sel = lp_ext[chars_sel]
+            sel_thresh = jnp.float32(2 * NEG_INF)
+        if prune_logp is not None:
+            lp_sel = jnp.where(lp_sel < prune_logp, NEG_INF, lp_sel)
 
-        # stay candidates live in the blank column: same prefix
-        stay_pb = total + lp[blank]                            # [K]
-        stay_pnb = jnp.where(state["plen"] > 0,
-                             pnb + lp[state["last"]], NEG_INF)  # [K]
+        # ---- per-beam LM rows (dense gathers) -------------------------
+        def lm_rows(last_ids, last2_ids, hlm):
+            """Combined n-gram + neural LM scores [K, A] for a context."""
+            row = None
+            if lm_table is not None:
+                row = lm_alpha * _lm_scores(lm_table, lm_order,
+                                            last_ids, last2_ids) + lm_beta
+            if nlm_params is not None:
+                nrow = lm_alpha * neural_lm.log_probs(nlm_params, hlm) \
+                    + lm_beta
+                row = nrow if row is None else row + nrow
+            return row
 
-        # extension candidates (non-blank columns)
-        base = jnp.where(is_last, pb[:, None], total[:, None])  # [K, A]
-        ext_pnb = base + lp[None, :]
-        if lm_table is not None:
-            lm_row = _lm_scores(lm_table, lm_order, state["last"],
-                                state["last2"])                 # [K, A]
-            ext_pnb = ext_pnb + lm_alpha * lm_row + lm_beta
-        if nlm_params is not None:
-            nlm_row = neural_lm.log_probs(nlm_params, state["hlm"])  # [K, A]
-            ext_pnb = ext_pnb + lm_alpha * nlm_row + lm_beta
-        # full prefixes cannot extend
-        ext_pnb = jnp.where((state["plen"] >= max_len)[:, None],
-                            NEG_INF, ext_pnb)
+        hlm = state.get("hlm")
+        lm_row = lm_rows(last, state["last2"], hlm)             # [K, A]|None
+        lm_sel = lm_row[:, chars_sel] if lm_row is not None else None
 
-        cand_pb = jnp.where(is_blank, stay_pb[:, None], NEG_INF)
-        cand_pnb = jnp.where(is_blank, stay_pnb[:, None], ext_pnb)
+        # ---- mate detection (sort-free duplicate merge) ---------------
+        last_u = last.astype(jnp.uint32)
+        ph1 = (state["h1"] - last_u) * _H1_INV                  # [K]
+        ph2 = (state["h2"] - last_u) * _H2_INV
+        has_parent = (plen > 0) & (total > NEG_INF / 2)
+        match = (ph1[:, None] == state["h1"][None, :]) \
+            & (ph2[:, None] == state["h2"][None, :]) \
+            & has_parent[:, None]                               # [j, k]
+        mate = jnp.argmax(match, axis=1)                        # [K]
+        has_mate = jnp.any(match, axis=1)
 
-        # hashes: stay keeps the prefix hash, extend rolls in the char
-        c_u = chars.astype(jnp.uint32)[None, :]
-        cand_h1 = jnp.where(is_blank, state["h1"][:, None],
-                            state["h1"][:, None] * _H1_MULT + c_u)
-        cand_h2 = jnp.where(is_blank, state["h2"][:, None],
-                            state["h2"][:, None] * _H2_MULT + c_u)
-        parent = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[:, None],
-                                  (k, a))
-        ext_char = jnp.broadcast_to(jnp.where(is_blank, -1, chars[None, :]),
-                                    (k, a))
+        # ---- stay candidates (one per beam, same prefix) ---------------
+        stay_pb = total + lp[blank]
+        stay_pnb = jnp.where(plen > 0, pnb + lp[last], NEG_INF)
+        # fold the mate's extension (prefix_mate + last_j == prefix_j) in,
+        # under the same char admission/pruning gates as the grid
+        base_mate = jnp.where(last[mate] == last, pb[mate], total[mate])
+        ext_from_mate = base_mate + lp[last]
+        mate_lm_row = lm_rows(last[mate], state["last2"][mate],
+                              hlm[mate] if hlm is not None else None)
+        if mate_lm_row is not None:
+            ext_from_mate = ext_from_mate + jnp.take_along_axis(
+                mate_lm_row, last[:, None], axis=1)[:, 0]
+        gate = has_mate & (lp_ext[last] >= sel_thresh)
+        if prune_logp is not None:
+            gate = gate & (lp_ext[last] >= prune_logp)
+        ext_from_mate = jnp.where(gate, ext_from_mate, NEG_INF)
+        stay_pnb = _lse2(stay_pnb, ext_from_mate)
 
-        # ---- flatten, sort by hash, merge duplicates -----------------
-        flat = [x.reshape(n) for x in
-                (cand_h1, cand_h2, cand_pb, cand_pnb,
-                 parent.astype(jnp.int32), ext_char.astype(jnp.int32))]
-        s_h1, s_h2, s_pb, s_pnb, s_parent, s_ext = jax.lax.sort(
-            flat, num_keys=2)
+        # ---- extension grid [K, C] -------------------------------------
+        is_last = (chars_sel[None, :] == last[:, None]) & (plen > 0)[:, None]
+        base = jnp.where(is_last, pb[:, None], total[:, None])
+        ext_pnb = base + lp_sel[None, :]
+        if lm_sel is not None:
+            ext_pnb = ext_pnb + lm_sel
+        ext_pnb = jnp.where((plen >= max_len)[:, None], NEG_INF, ext_pnb)
+        # mask extensions whose mass went to a mate's stay:
+        # excl[k, c] = exists j with mate_of_j == k and last_j == c
+        excl = (match.astype(jnp.float32).T
+                @ (last[:, None] == chars_sel[None, :]).astype(jnp.float32))
+        ext_pnb = jnp.where(excl > 0, NEG_INF, ext_pnb)
 
-        # A merged segment has AT MOST TWO members: string equality
-        # p+c == q forces (p, c) unique, so an extension candidate can
-        # only collide with the stay candidate of the equal-string beam
-        # (beam prefixes are pairwise distinct by the top-k dedupe
-        # invariant).  Adjacent-neighbour merging is therefore exact and
-        # stays elementwise — no segment scatter/gather (which serialize
-        # on TPU: they were ~95% of decode wall-clock).
-        same_prev = jnp.concatenate([
-            jnp.zeros((1,), bool),
-            (s_h1[1:] == s_h1[:-1]) & (s_h2[1:] == s_h2[:-1])])
-        first = ~same_prev
-        nxt = lambda x: jnp.concatenate([x[1:], jnp.full((1,), NEG_INF)])
-        m_pb = _lse2(s_pb, jnp.where(nxt(same_prev.astype(jnp.float32)) > 0,
-                                     nxt(s_pb), NEG_INF))
-        m_pnb = _lse2(s_pnb, jnp.where(nxt(same_prev.astype(jnp.float32)) > 0,
-                                       nxt(s_pnb), NEG_INF))
-        elem_score = jnp.where(first, _lse2(m_pb, m_pnb), NEG_INF)
-
-        # ---- top-K segments ------------------------------------------
-        # When fewer than K live segments exist, top_k fills slots from
-        # the NEG_INF ties — which may be second members of merged pairs
-        # still carrying finite (pb, pnb).  Kill fillers explicitly:
-        # NEG_INF mass and a unique per-slot hash (the init convention),
-        # otherwise a filler duplicates a live prefix and its mass is
-        # double-counted / dropped by the pairwise merge at later frames.
-        top_score, top_idx = jax.lax.top_k(elem_score, k)
+        # ---- single top-K over K stay + K*C extension candidates -------
+        scores = jnp.concatenate(
+            [_lse2(stay_pb, stay_pnb), ext_pnb.reshape(-1)])
+        top_score, top_idx = jax.lax.top_k(scores, k)
         dead = top_score < NEG_INF / 2
-        n_pb = jnp.where(dead, NEG_INF, m_pb[top_idx])
-        n_pnb = jnp.where(dead, NEG_INF, m_pnb[top_idx])
-        t_parent = s_parent[top_idx]
-        t_ext = s_ext[top_idx]
+        is_stay = top_idx < k
+        eidx = jnp.maximum(top_idx - k, 0)
+        t_parent = jnp.where(is_stay, top_idx, eidx // c_cols)
+        t_ext = jnp.where(is_stay, -1, chars_sel[eidx % c_cols])
+        n_pb = jnp.where(dead | ~is_stay, NEG_INF, stay_pb[t_parent])
+        n_pnb = jnp.where(dead, NEG_INF,
+                          jnp.where(is_stay, stay_pnb[t_parent],
+                                    ext_pnb.reshape(-1)[eidx]))
 
-        # ---- rebuild beam state --------------------------------------
+        # ---- rebuild beam state ----------------------------------------
         n_buf = state["buf"][t_parent]                         # [K, L]
-        p_len = state["plen"][t_parent]
+        p_len = plen[t_parent]
         extend = t_ext >= 0
         pos = jnp.clip(p_len, 0, max_len - 1)
         onehot = (jnp.arange(max_len)[None, :] == pos[:, None]) \
             & extend[:, None]
         n_buf = jnp.where(onehot, t_ext[:, None], n_buf)
         n_plen = p_len + extend.astype(jnp.int32)
-        n_last = jnp.where(extend, t_ext, state["last"][t_parent])
-        n_last2 = jnp.where(extend, state["last"][t_parent],
-                            state["last2"][t_parent])
-        n_h1 = jnp.where(dead, beam_ids + 1, s_h1[top_idx])
-        n_h2 = jnp.where(dead, beam_ids + 1, s_h2[top_idx])
+        n_last = jnp.where(extend, t_ext, last[t_parent])
+        n_last2 = jnp.where(extend, last[t_parent], state["last2"][t_parent])
+        ext_u = t_ext.astype(jnp.uint32)
+        n_h1 = jnp.where(extend, state["h1"][t_parent] * _H1_MULT + ext_u,
+                         state["h1"][t_parent])
+        n_h2 = jnp.where(extend, state["h2"][t_parent] * _H2_MULT + ext_u,
+                         state["h2"][t_parent])
+        n_h1 = jnp.where(dead, beam_ids + 1, n_h1)
+        n_h2 = jnp.where(dead, beam_ids + 1, n_h2)
 
         new_state = {"buf": n_buf, "plen": n_plen, "last": n_last,
                      "last2": n_last2, "h1": n_h1, "h2": n_h2,
@@ -270,7 +310,11 @@ def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
         return merged, None
 
     xs = (log_probs, jnp.arange(t_total))
-    state, _ = jax.lax.scan(step, init, xs)
+    # The per-frame update is tiny ([K, A]-scale elementwise + one top-k):
+    # compiled one-frame-per-iteration it is LAUNCH-BOUND (~12 fusions x
+    # ~17 us/step on v5e).  Unrolling amortizes launch overhead and lets
+    # XLA fuse across frames; 8 frames/iteration ~3x end-to-end.
+    state, _ = jax.lax.scan(step, init, xs, unroll=unroll)
 
     score = _lse2(state["pb"], state["pnb"])
     best = jnp.argmax(score)
@@ -278,7 +322,7 @@ def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "beam_width", "max_len", "blank", "lm_order"))
+    "beam_width", "max_len", "blank", "lm_order", "char_topk", "prune_logp"))
 def prefix_beam_search(log_probs: jnp.ndarray,
                        frame_lengths: jnp.ndarray,
                        beam_width: int = 64,
@@ -288,7 +332,9 @@ def prefix_beam_search(log_probs: jnp.ndarray,
                        lm_order: int = 0,
                        lm_alpha: float = 1.0,
                        lm_beta: float = 0.0,
-                       nlm_params=None):
+                       nlm_params=None,
+                       char_topk: int = 0,
+                       prune_logp: Optional[float] = None):
     """Batched on-device prefix beam search.
 
     Args:
@@ -301,6 +347,10 @@ def prefix_beam_search(log_probs: jnp.ndarray,
       lm_alpha / lm_beta: LM weight and per-char insertion bonus.
       nlm_params: optional neural char-LM (GRU) param pytree; each beam
         entry carries its recurrent state (SURVEY C10 neural CLM).
+      char_topk: static per-frame extension-char cap C (0 = exact, all
+        chars); the candidate grid shrinks from [K, A] to [K, C].
+      prune_logp: mask extension chars whose acoustic log-prob is below
+        this threshold (the reference decoder's pruning, SURVEY C9).
 
     Returns:
       (hyps [B, max_len] int32, hyp_lengths [B] int32, scores [B] f32).
@@ -308,7 +358,8 @@ def prefix_beam_search(log_probs: jnp.ndarray,
     fn = functools.partial(
         _beam_search_single, beam_width=beam_width, max_len=max_len,
         blank=blank, lm_table=lm_table, lm_order=lm_order,
-        lm_alpha=lm_alpha, lm_beta=lm_beta, nlm_params=nlm_params)
+        lm_alpha=lm_alpha, lm_beta=lm_beta, nlm_params=nlm_params,
+        char_topk=char_topk, prune_logp=prune_logp)
     return jax.vmap(fn)(log_probs, frame_lengths)
 
 
@@ -330,7 +381,9 @@ def make_beam_decoder(cfg, lm: Optional[NGramCharLM] = None,
                         int(batch["feats"].shape[1])),
             lm_table=lm_table, lm_order=lm_order,
             lm_alpha=cfg.decode.lm_alpha, lm_beta=cfg.decode.lm_beta,
-            nlm_params=nlm_params)
+            nlm_params=nlm_params,
+            char_topk=cfg.decode.char_topk,
+            prune_logp=cfg.decode.prune_logp)
         return hyps, lens
 
     return decode
