@@ -91,6 +91,43 @@ def bench_tpu_train(hidden=1024, num_bi=3, batch=32, t_frames=400,
     return thr
 
 
+def bench_tpu_decode(batch=32, t_frames=400, vocab=32, beam=64, iters=5):
+    """Beam-decode throughput (audio-s/s/chip) of the fused Pallas search
+    vs the XLA scan search, on device-resident posteriors (SURVEY C9;
+    VERDICT r2 item 1).  Returns (pallas_thr, xla_thr)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_ctc.decode.beam import prefix_beam_search
+    from tpu_ctc.ops.beam_pallas import beam_search_pallas
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(batch, t_frames, vocab).astype(np.float32) * 2
+    lp = jnp.asarray(x - np.log(np.exp(x).sum(-1, keepdims=True)))
+    lens = jnp.full((batch,), t_frames, jnp.int32)
+    audio_s = batch * t_frames / FRAMES_PER_SECOND
+
+    def run(fn, label):
+        out = fn()
+        jax.block_until_ready(out[0])
+        _ = float(out[2][0])            # true sync (see module docstring)
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out[0])
+        _ = float(out[2][0])
+        dt = (time.time() - t0) / iters
+        thr = audio_s / dt
+        log(f"[bench] {label}: {dt*1e3:.1f} ms/batch -> {thr:.0f} audio-s/s")
+        return thr
+
+    pallas_thr = run(lambda: beam_search_pallas(
+        lp, lens, beam_width=beam, max_len=128), "decode pallas")
+    xla_thr = run(lambda: prefix_beam_search(
+        lp, lens, beam_width=beam, max_len=128), "decode xla")
+    return pallas_thr, xla_thr
+
+
 def bench_cpu_reference(hidden=1024, num_bi=3, t_frames=400, vocab=29,
                         input_dim=120, utts=3, budget_s=120.0):
     """The reference's CPU path: per-utterance, Python time loop, numpy CTC."""
@@ -130,6 +167,7 @@ def main():
 
     kw = dict(hidden=args.hidden, num_bi=args.layers, t_frames=args.frames)
     tpu_thr = bench_tpu_train(batch=args.batch, steps=args.steps, **kw)
+    dec_thr, dec_xla = bench_tpu_decode(t_frames=args.frames)
     if args.skip_cpu_baseline:
         cpu_thr = None
     else:
@@ -140,6 +178,10 @@ def main():
         "value": round(tpu_thr, 2),
         "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(tpu_thr / cpu_thr, 2) if cpu_thr else None,
+        # second axis (VERDICT r2): exact beam decode, B=32/T=400/K=64
+        "decode_throughput": round(dec_thr, 2),
+        "decode_unit": "audio_seconds_per_second_per_chip",
+        "decode_vs_xla_search": round(dec_thr / dec_xla, 2),
     }), flush=True)
 
 

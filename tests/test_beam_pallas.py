@@ -1,0 +1,170 @@
+"""Fused Pallas beam-search kernel parity tests (interpret mode on CPU).
+
+SURVEY.md §4.2 test plan, applied to the fused kernel
+(:mod:`tpu_ctc.ops.beam_pallas`): the kernel must reproduce the host
+dict decoder (SURVEY C9's pure-python reference role) AND the XLA scan
+decoder exactly — same best hypothesis, same log score — with and
+without n-gram LM fusion and acoustic pruning.  Interpret mode makes the
+Mosaic kernel CI-runnable on the CPU mesh; the identical code path runs
+compiled on TPU (where payload matmuls force Precision.HIGHEST — see the
+kernel docstring).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_ctc.decode.beam import prefix_beam_search, prefix_beam_search_host
+from tpu_ctc.decode.lm import train_ngram_lm
+from tpu_ctc.ops import beam_pallas
+
+
+def np_log_softmax(x):
+    m = x.max(axis=-1, keepdims=True)
+    e = x - m
+    return e - np.log(np.exp(e).sum(axis=-1, keepdims=True))
+
+
+def _random_batch(rng, b, t, a, scale=2.0):
+    lp = np_log_softmax(rng.randn(b, t, a).astype(np.float32) * scale)
+    lens = rng.randint(max(1, t // 2), t + 1, size=b).astype(np.int32)
+    return jnp.asarray(lp), jnp.asarray(lens)
+
+
+def _assert_host_parity(lp, lens, hyps, hlens, scores, k, lm=None,
+                        lm_alpha=1.0, lm_beta=0.0):
+    for i in range(lp.shape[0]):
+        ref_ids, ref_score = prefix_beam_search_host(
+            np.asarray(lp[i]), int(lens[i]), beam_width=k,
+            lm=lm, lm_alpha=lm_alpha, lm_beta=lm_beta)
+        got = [int(x) for x in np.asarray(hyps[i][: int(hlens[i])])]
+        assert got == ref_ids, f"utt {i}: {got} != {ref_ids}"
+        np.testing.assert_allclose(float(scores[i]), ref_score, atol=1e-3)
+
+
+def _assert_xla_parity(lp, lens, hyps, hlens, scores, k, **kw):
+    xh, xl, xs = prefix_beam_search(lp, lens, beam_width=k,
+                                    max_len=int(hyps.shape[1]), **kw)
+    for i in range(lp.shape[0]):
+        got = [int(x) for x in np.asarray(hyps[i][: int(hlens[i])])]
+        exp = [int(x) for x in np.asarray(xh[i][: int(xl[i])])]
+        assert got == exp, f"utt {i}: {got} != {exp}"
+        np.testing.assert_allclose(float(scores[i]), float(xs[i]), atol=1e-3)
+
+
+class TestKernelVsHost:
+    def test_no_lm(self, rng):
+        lp, lens = _random_batch(rng, 4, 20, 8)
+        hyps, hlens, scores = beam_pallas.beam_search_pallas(
+            lp, lens, beam_width=16, max_len=24)
+        _assert_host_parity(lp, lens, hyps, hlens, scores, 16)
+        _assert_xla_parity(lp, lens, hyps, hlens, scores, 16)
+
+    def test_beam_exceeds_live_prefixes(self, rng):
+        # K far above the number of reachable prefixes: every live
+        # candidate must survive (exercises the lo0 fallback bracket)
+        lp, lens = _random_batch(rng, 2, 6, 4)
+        hyps, hlens, scores = beam_pallas.beam_search_pallas(
+            lp, lens, beam_width=64, max_len=8)
+        _assert_host_parity(lp, lens, hyps, hlens, scores, 64)
+
+    @pytest.mark.parametrize("order", [1, 2, 3])
+    def test_ngram_lm_orders(self, rng, order):
+        a = 8
+        lp, lens = _random_batch(rng, 3, 15, a)
+        seqs = [list(rng.randint(1, a, size=rng.randint(3, 12)))
+                for _ in range(50)]
+        lm = train_ngram_lm(seqs, vocab_size=a, order=order)
+        hyps, hlens, scores = beam_pallas.beam_search_pallas(
+            lp, lens, beam_width=8, max_len=20,
+            lm_table=lm.tables_device(), lm_order=order,
+            lm_alpha=0.7, lm_beta=0.3)
+        _assert_host_parity(lp, lens, hyps, hlens, scores, 8,
+                            lm=lm, lm_alpha=0.7, lm_beta=0.3)
+        _assert_xla_parity(lp, lens, hyps, hlens, scores, 8,
+                           lm_table=lm.tables_device(), lm_order=order,
+                           lm_alpha=0.7, lm_beta=0.3)
+
+    def test_prune_logp_matches_xla(self, rng):
+        lp, lens = _random_batch(rng, 3, 15, 8)
+        hyps, hlens, scores = beam_pallas.beam_search_pallas(
+            lp, lens, beam_width=8, max_len=20, prune_logp=-5.0)
+        _assert_xla_parity(lp, lens, hyps, hlens, scores, 8,
+                           prune_logp=-5.0)
+
+    def test_peaky_posteriors(self, rng):
+        # near-one-hot frames with systematic near-ties: stresses the
+        # threshold search's tie handling
+        b, t, a = 2, 18, 6
+        idx = rng.randint(0, a, size=(b, t))
+        x = np.full((b, t, a), -8.0, np.float32)
+        for i in range(b):
+            x[i, np.arange(t), idx[i]] = 0.0
+        lp = jnp.asarray(np_log_softmax(x))
+        lens = jnp.asarray([t, t - 3], jnp.int32)
+        hyps, hlens, scores = beam_pallas.beam_search_pallas(
+            lp, lens, beam_width=8, max_len=20)
+        _assert_host_parity(lp, lens, hyps, hlens, scores, 8)
+
+    def test_wider_vocab_and_beam(self, rng):
+        lp, lens = _random_batch(rng, 2, 25, 30)
+        hyps, hlens, scores = beam_pallas.beam_search_pallas(
+            lp, lens, beam_width=32, max_len=30)
+        _assert_host_parity(lp, lens, hyps, hlens, scores, 32)
+
+
+class TestSupported:
+    def test_supported_gate(self):
+        assert beam_pallas.supported(64, 32, 3)
+        assert not beam_pallas.supported(256, 32, 0)       # beam too wide
+        assert not beam_pallas.supported(64, 100, 0)       # vocab too wide
+        assert not beam_pallas.supported(64, 32, 4)        # LM order
+        assert not beam_pallas.supported(64, 32, 0, nlm_params={})
+        assert not beam_pallas.supported(64, 32, 0, char_topk=8)
+
+    def test_unsupported_raises(self, rng):
+        lp, lens = _random_batch(rng, 1, 4, 4)
+        with pytest.raises(ValueError):
+            beam_pallas.beam_search_pallas(lp, lens, beam_width=256,
+                                           max_len=8)
+
+
+class TestDecoderRouting:
+    def test_make_beam_decoder_uses_kernel_when_supported(self, rng):
+        """make_beam_decoder routes through the fused kernel whenever
+        supported() holds; both routes must agree end-to-end."""
+        import dataclasses
+
+        import jax
+
+        from tpu_ctc.config import PRESETS
+        from tpu_ctc.decode.beam import make_beam_decoder
+        from tpu_ctc.models import birnn
+
+        base = PRESETS["1"]
+        cfg = dataclasses.replace(
+            base,
+            model=dataclasses.replace(base.model, hidden_dim=16, input_dim=8),
+            decode=dataclasses.replace(base.decode, beam_width=8,
+                                       use_fused_kernel=True))
+        assert cfg.decode.use_fused_kernel
+        b, t = 2, 12
+        params = birnn.init_params(jax.random.PRNGKey(0), cfg.model)
+        batch = {
+            "feats": jnp.asarray(rng.randn(b, t, 8).astype(np.float32)),
+            "frame_mask": jnp.ones((b, t), jnp.float32),
+            "frame_lengths": jnp.asarray([t, t - 2], jnp.int32),
+            "labels": jnp.zeros((b, 6), jnp.int32),
+        }
+        dec = make_beam_decoder(cfg)
+        hyps, lens = dec(params, batch)
+        # force the XLA path for comparison
+        cfg2 = dataclasses.replace(
+            cfg, decode=dataclasses.replace(cfg.decode,
+                                            use_fused_kernel=False))
+        dec2 = make_beam_decoder(cfg2)
+        hyps2, lens2 = dec2(params, batch)
+        np.testing.assert_array_equal(np.asarray(lens), np.asarray(lens2))
+        for i in range(b):
+            np.testing.assert_array_equal(
+                np.asarray(hyps[i][: int(lens[i])]),
+                np.asarray(hyps2[i][: int(lens2[i])]))

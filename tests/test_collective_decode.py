@@ -72,3 +72,62 @@ def test_mesh_decode_pallas_forward(rng):
                                          max_len=24)(params, bd)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h8))
+
+
+def test_snake_assignment_balances_and_permutes():
+    import jax.numpy as jnp
+
+    from tpu_ctc.decode.collective import snake_assignment
+    rng = np.random.RandomState(7)
+    lens = jnp.asarray(rng.randint(10, 400, size=32), jnp.int32)
+    perm = np.asarray(snake_assignment(lens, 8))
+    # a permutation of 0..31
+    assert sorted(perm.tolist()) == list(range(32))
+    loads = [int(np.asarray(lens)[perm[s * 4:(s + 1) * 4]].sum())
+             for s in range(8)]
+    # snake-dealt loads: max shard within one max-utterance of min shard
+    assert max(loads) - min(loads) <= int(np.asarray(lens).max())
+    # and far better balanced than the contiguous split can be in the
+    # adversarial case below
+    lens_adv = jnp.asarray([400] * 4 + [10] * 28, jnp.int32)
+    p2 = np.asarray(snake_assignment(lens_adv, 8))
+    loads2 = [int(np.asarray(lens_adv)[p2[s * 4:(s + 1) * 4]].sum())
+              for s in range(8)]
+    assert max(loads2) <= 400 + 3 * 10  # one long utt per shard
+
+
+def test_redistributed_decode_matches_unbalanced(rng):
+    """Length-balanced redistribution (ring ppermute exchange) must be
+    invisible in the results: same hypotheses, original order."""
+    cfg, params, bd = setup(rng)
+    # adversarial lengths: all long utts on shard 0 (before rebalancing)
+    lens = np.array([24, 24, 23, 22, 10, 10, 10, 10], np.int32)
+    bd = dict(bd)
+    bd["frame_lengths"] = lens
+    bd["frame_mask"] = (np.arange(24)[None, :] < lens[:, None]).astype(
+        np.float32)
+    lm = train_ngram_lm([np.array([1, 2, 3])] * 10, vocab_size=6, order=2)
+
+    full = mesh_lib.make_mesh(MeshConfig(data=-1, model=1, seq=1))
+    with full:
+        d_bal = make_collective_decoder(cfg, full, lm=lm, use_beam=True,
+                                        max_len=24, redistribute=True)
+        h_bal, l_bal = d_bal(params, bd)
+        d_raw = make_collective_decoder(cfg, full, lm=lm, use_beam=True,
+                                        max_len=24, redistribute=False)
+        h_raw, l_raw = d_raw(params, bd)
+    np.testing.assert_array_equal(np.asarray(l_bal), np.asarray(l_raw))
+    np.testing.assert_array_equal(np.asarray(h_bal), np.asarray(h_raw))
+
+
+def test_redistribution_emits_collectives(rng):
+    """The redistribution path must actually exchange state over the mesh
+    (ppermute ring + lengths all_gather inside the decode step)."""
+    cfg, params, bd = setup(rng)
+    full = mesh_lib.make_mesh(MeshConfig(data=-1, model=1, seq=1))
+    with full:
+        d = make_collective_decoder(cfg, full, use_beam=True, max_len=24,
+                                    redistribute=True)
+        txt = d.lower(params, bd).compile().as_text()
+    assert "collective-permute" in txt or "all-to-all" in txt
+    assert "all-gather" in txt

@@ -87,15 +87,17 @@ def cmd_train(args):
     from tpu_ctc.train.loop import train
     cfg = _load_config(args)
     if getattr(args, "synthetic_audio", 0):
-        data, _ = _synthetic_audio_data(cfg, args.synthetic_audio)
+        data, alphabet = _synthetic_audio_data(cfg, args.synthetic_audio)
     elif args.synthetic:
-        data, _ = _synthetic_data(cfg, args.synthetic)
+        data, alphabet = _synthetic_data(cfg, args.synthetic)
     else:
         from tpu_ctc.data.manifest import ManifestDataset
         data = ManifestDataset(args.data, cfg)  # lazy: payloads stream per batch
+        alphabet = data.alphabet
     n_eval = max(len(data) // 10, 1)
     state, metrics = train(cfg, data[n_eval:], eval_data=data[:n_eval],
-                           work_dir=args.work_dir, resume=args.resume)
+                           work_dir=args.work_dir, resume=args.resume,
+                           alphabet=alphabet)
     print("final metrics:", metrics)
     return 0
 

@@ -138,6 +138,11 @@ class DecodeConfig:
     # acoustic log-prob become beam extensions (0 = exact, all chars).
     # Shrinks the per-frame candidate set from K*A to K*(C+1).
     char_topk: int = 0
+    # Route through the fused Pallas beam-search kernel
+    # (tpu_ctc.ops.beam_pallas) whenever its supported() gate holds
+    # (K<=128, vocab<=64, n-gram order<=3, no neural LM / char_topk);
+    # False forces the XLA scan decoder.
+    use_fused_kernel: bool = True
 
 
 @dataclass(frozen=True)

@@ -99,8 +99,14 @@ def read_wav(path: str, channel: Optional[int] = None
             cid, csize = struct.unpack("<4sI", hdr)
             if cid == b"fmt ":
                 fmt = f.read(csize)
+                if len(fmt) < csize:
+                    raise ValueError(f"{path}: truncated file (fmt chunk "
+                                     f"declares {csize} bytes, got {len(fmt)})")
             elif cid == b"data":
                 data = f.read(csize)
+                if len(data) < csize:
+                    raise ValueError(f"{path}: truncated file (data chunk "
+                                     f"declares {csize} bytes, got {len(data)})")
             else:
                 f.seek(csize + (csize & 1), os.SEEK_CUR)
                 continue
@@ -326,6 +332,8 @@ def audio_info(path: str) -> Tuple[int, int]:
                 cid, csize = struct.unpack("<4sI", hdr)
                 if cid == b"fmt ":
                     fmt = f.read(csize + (csize & 1))
+                    if len(fmt) < 16:
+                        raise ValueError(f"{path}: truncated fmt chunk")
                     (tag, n_channels, rate, _br, _ba,
                      bits) = struct.unpack("<HHIIHH", fmt[:16])
                     if tag in (_WAVE_MULAW, _WAVE_ALAW):

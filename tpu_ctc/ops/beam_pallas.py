@@ -59,11 +59,19 @@ _H1_EMPTY = np.int32(np.uint32(0x9E3779B9))
 _H2_EMPTY = np.int32(np.uint32(0x85EBCA6B))
 
 _VMEM_LIMIT = 110 * 1024 * 1024
-# Bisection iterations: RANGE / 2^60 is far below f32 ulp at score
-# magnitudes, so the threshold separates the K-th and K+1-th scores
-# exactly whenever they differ at all; ties fall to index order.
-_BISECT_ITERS = 60
-_BISECT_RANGE = 1.0e6
+# Threshold search: 8-ary interval refinement, fully VECTOR-resident
+# (lo/hi live in [1,1] vregs; the 7 per-round counts are independent
+# reductions that pipeline on the VPU).  The count reductions are the
+# dominant cost, so arity trades rounds against counts/round: 8-ary
+# (7 counts) x 10 rounds measured faster than 16-ary x 8 on v5e.
+# 10 rounds shrink the interval by 8^10 = 2^30.  Since lo0/hi0 are
+# actual candidate values, any two distinct f32 scores in [lo0, hi0]
+# differ by >= 2^-24 * max(|lo0|,|hi0|) >= 2^-25 * (hi0 - lo0) (away
+# from zero), so 2^30 lands the threshold between the K-th and K+1-th
+# distinct scores; closer-than-band ties fall to candidate-index order.
+_BISECT_ITERS = 10
+_BISECT_ARITY = 8
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _lse2(a, b):
@@ -94,13 +102,15 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
                  prune_logp: Optional[float]):
     """One utterance's full search.
 
-    Refs: lp [A, T] f32 (posteriors, time in lanes), len [1, LANE] f32,
+    Refs: lp [T, A] f32 (posteriors, frames in sublanes: frame t is ONE
+    dynamic sublane load, no lane-aligned slicing), len [1, LANE] f32,
     lm [A^(o-1), A] f32 (tableT, zero-size dummy when no LM),
     bp out [T, KP] i32 (packed parent|char+1<<8), fin out [8, KP] f32
     (rows 0..2: pb, pnb, plen).  Scratch: per-beam state rows [1, KP]
     (f32) and hashes (i32).  KP = 128 lanes; slots >= k stay dead.
     """
     kp = _LANE
+    # len block is (None, 1, _LANE): batch dim squeezed -> [1, _LANE]
     frame_len = len_ref[0, 0].astype(jnp.int32)
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)   # [1,KP]
@@ -124,8 +134,16 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
     aj = jax.lax.broadcasted_iota(jnp.int32, (a, a), 1)
     tri_a_strict = (ai < aj).astype(jnp.float32)                  # [A,A]
 
-    def body(t, _):
-        lp = lp_ref[:, pl.ds(t, 1)]                               # [A,1]
+    def frame(t):
+        # Frame t is one dynamic SUBLANE load of lp [T, A] (lane slices
+        # would need 128-alignment; sublane ones don't), then a 32-bit
+        # [1,A]->[A,1] relayout for the column-oriented grid math.
+        # Payload-carrying matmuls use Precision.HIGHEST throughout: the
+        # MXU's DEFAULT f32 path rounds inputs to bf16 (8 mantissa bits),
+        # which silently corrupts scores and hash payloads.  Counting
+        # matmuls (0/1 x small-int, f32 accumulation) are exact at
+        # DEFAULT and stay there.
+        lp = lp_ref[pl.ds(t, 1), :].reshape(a, 1)                 # [A,1]
         pb, pnb = pb_s[:, :], pnb_s[:, :]                         # [1,KP]
         last_f, last2_f = last_s[:, :], last2_s[:, :]
         plen = plen_s[:, :]
@@ -142,13 +160,13 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         if lm_order == 1:
             lm_row = jnp.broadcast_to(lm_ref[:, 0:1], (a, kp))
         elif lm_order == 2:
-            lm_row = jnp.dot(lm_ref[:, :], onehot_last,
+            lm_row = jnp.dot(lm_ref[:, :], onehot_last, precision=_HIGHEST,
                              preferred_element_type=jnp.float32)
         elif lm_order == 3:
             ctx = last2_f.astype(jnp.int32) * a + last_i          # [1,KP]
             c_iota = jax.lax.broadcasted_iota(jnp.int32, (a * a, 1), 0)
             ctx_oh = (c_iota == ctx).astype(jnp.float32)          # [A^2,KP]
-            lm_row = jnp.dot(lm_ref[:, :], ctx_oh,
+            lm_row = jnp.dot(lm_ref[:, :], ctx_oh, precision=_HIGHEST,
                              preferred_element_type=jnp.float32)  # [A,KP]
         if lm_row is not None:
             lm_row = lm_alpha * lm_row + lm_beta
@@ -157,20 +175,22 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         ph1 = (h1 - last_i) * _H1_INV                             # [1,KP]
         ph2 = (h2 - last_i) * _H2_INV
         has_parent = (plen > 0) & (total > NEG_INF / 2)
-        # match[j, m]: beam j's parent prefix == beam m's prefix
-        match = ((ph1.reshape(kp, 1) == h1.reshape(1, kp))
-                 & (ph2.reshape(kp, 1) == h2.reshape(1, kp))
-                 & has_parent.reshape(kp, 1)).astype(jnp.float32)  # [KP,KP]
-        # mate-held values via exact one-hot matmuls (<= one 1 per row);
-        # contract over the mate axis m without materializing transposes
-        def mate_pick(v):                                         # [1,KP]
-            return jax.lax.dot_general(
-                v, match, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        mate_pb = mate_pick(pb)                                   # [1,KP]
-        mate_total = mate_pick(total)
-        mate_last = mate_pick(last_f)
+        # match[j, m]: beam j's parent prefix == beam m's prefix.
+        # (Mosaic can't reshape i1 vectors across the minor dim, so the
+        # row-mask lands as an f32 product, not a bool &.)
+        eq = ((ph1.reshape(kp, 1) == h1.reshape(1, kp))
+              & (ph2.reshape(kp, 1) == h2.reshape(1, kp))
+              ).astype(jnp.float32)                                # [KP,KP]
+        match = eq * has_parent.astype(jnp.float32).reshape(kp, 1)
+        # mate-held values via ONE stacked exact one-hot matmul (<= one 1
+        # per row); M=3 instead of three M=1 launches on the MXU
+        mate_in = jnp.concatenate([pb, total, last_f], axis=0)    # [3,KP]
+        mate_out = jax.lax.dot_general(
+            mate_in, match, (((1,), (1,)), ((), ())), precision=_HIGHEST,
+            preferred_element_type=jnp.float32)                   # [3,KP]
+        mate_pb = mate_out[0:1, :]
+        mate_total = mate_out[1:2, :]
+        mate_last = mate_out[2:3, :]
         has_mate = jnp.sum(match, axis=1).reshape(1, kp) > 0
         base_mate = jnp.where(mate_last == last_f, mate_pb, mate_total)
         ext_from_mate = base_mate + lp_at
@@ -178,7 +198,7 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
             # LM(ctx of mate, char last_j) = sum_a onehot_last[a,j] *
             #   (lm_row @ match^T)[a, j]
             lm_m = jax.lax.dot_general(
-                lm_row, match, (((1,), (1,)), ((), ())),
+                lm_row, match, (((1,), (1,)), ((), ())), precision=_HIGHEST,
                 preferred_element_type=jnp.float32)               # [A,KPj]
             ext_from_mate = ext_from_mate + jnp.sum(
                 onehot_last * lm_m, axis=0, keepdims=True)
@@ -205,26 +225,52 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
                        preferred_element_type=jnp.float32)        # [A,KP]
         ext = jnp.where(excl > 0, NEG_INF, ext)
         is_blank_row = a_iota == blank
-        active = t < frame_len
-        live_cols = jnp.broadcast_to(live_k & active, (a, kp))
-        cand = jnp.where(is_blank_row, _lse2(stay_pb, stay_pnb), ext)
+        live_cols = jnp.broadcast_to(live_k, (a, kp))
+        stay_merged = _lse2(stay_pb, stay_pnb)
+        cand = jnp.where(is_blank_row, stay_merged, ext)
         cand = jnp.where(live_cols, cand, NEG_INF)                # [A,KP]
 
-        # ---- top-K selection: threshold bisection ----------------------
-        hi0 = jnp.max(cand)
-        lo0 = hi0 - _BISECT_RANGE
-
-        def bis(_, lh):
-            lo, hi = lh
-            mid = 0.5 * (lo + hi)
-            cnt = jnp.sum((cand >= mid).astype(jnp.float32))
-            take = cnt >= k
-            return (jnp.where(take, mid, lo), jnp.where(take, hi, mid))
-
-        lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, bis, (lo0, hi0))
-        # certainly-in set (> hi has < K members) + ties filled by index
+        # ---- top-K: 8-ary threshold search -----------------------------
+        # Start from the tightest valid bracket: when >= K live stay
+        # candidates exist, the K-th best overall is >= the worst live
+        # stay (stays are K distinct candidates), so lo0 = min live stay.
+        # Otherwise fall back to the worst finite candidate (no live
+        # candidate may be dropped when fewer than K exist).
+        hi0 = jnp.max(cand, keepdims=True).reshape(1, 1)          # [1,1]
+        finite = cand > NEG_INF / 2
+        stay_row = cand[blank:blank + 1, :]                       # [1,KP]
+        stay_fin = stay_row > NEG_INF / 2
+        n_stay = jnp.sum(stay_fin.astype(jnp.float32),
+                         keepdims=True).reshape(1, 1)
+        min_stay = jnp.min(jnp.where(stay_fin, stay_row, hi0),
+                           keepdims=True).reshape(1, 1)
+        min_fin = jnp.min(jnp.where(finite, cand, hi0),
+                          keepdims=True).reshape(1, 1)
+        lo = jnp.where(n_stay >= k, min_stay, min_fin) - 1.0      # [1,1]
+        hi = hi0
+        edge_iota = (jnp.arange(1, _BISECT_ARITY, dtype=jnp.int32)
+                     .reshape(1, -1).astype(jnp.float32))         # [1,15]
+        kf = jnp.float32(k)
+        for _ in range(_BISECT_ITERS):                # static unroll
+            w = (hi - lo) * (1.0 / _BISECT_ARITY)
+            cnts = []
+            # independent count reductions pipeline on the VPU
+            for j in range(1, _BISECT_ARITY):
+                e = lo + w * j
+                cnts.append(jnp.sum((cand >= e).astype(jnp.float32),
+                                    keepdims=True).reshape(1, 1))
+            cnt_v = jnp.concatenate(cnts, axis=1)                 # [1,15]
+            e_v = lo + w * edge_iota                              # [1,15]
+            ok = cnt_v >= kf
+            # monotone cnt over ascending edges: bracketing pair by max/min
+            lo = jnp.max(jnp.where(ok, e_v, lo),
+                         keepdims=True).reshape(1, 1)
+            hi = jnp.min(jnp.where(ok, hi, e_v),
+                         keepdims=True).reshape(1, 1)
+        # certainly-in set (>= hi has < K members) + ties filled by index
         sel_top = cand >= hi
-        n_top = jnp.sum(sel_top.astype(jnp.float32))
+        n_top = jnp.sum(sel_top.astype(jnp.float32),
+                        keepdims=True).reshape(1, 1)
         mid_mask = (cand >= lo) & (cand < hi) & (cand > NEG_INF / 2)
         mf = mid_mask.astype(jnp.float32)
         # global candidate-order cumsum: lanes via tri_k, rows offset
@@ -236,78 +282,126 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         mid_pos = row_cum + row_off                               # 1-based
         sel = sel_top | (mid_mask & (mid_pos <= (k - n_top)))
 
-        # ---- slot assignment (same cumsum machinery) -------------------
+        # ---- slot compaction WITHOUT the [A,KO,KS] one-hot cube --------
+        # Slot of candidate (a, o) = its global enumeration rank, so row
+        # a's survivors occupy the CONTIGUOUS slot range
+        # [r_off[a], r_off[a] + r_tot[a]).  That makes the slot->row map C
+        # a cheap 2D range mask, and every gather below a [KS,KO]-sized
+        # 2D op or an MXU matmul — nothing 3D.
         sf = sel.astype(jnp.float32)
         r_cum = jnp.dot(sf, tri_k, preferred_element_type=jnp.float32)
         r_tot = r_cum[:, kp - 1:kp]
         r_off = jax.lax.dot_general(
             tri_a_strict, r_tot, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        pos01 = r_cum + r_off - 1.0                               # 0-based
+            preferred_element_type=jnp.float32)                   # [A,1]
 
-        # one-hot slot cube [A, KP(old), KP(slot)] -> rebuild matmuls
-        s_iota = jax.lax.broadcasted_iota(jnp.int32, (a, kp, kp), 2)
-        oh = (sel[:, :, None] & (pos01[:, :, None]
-                                 == s_iota.astype(jnp.float32))
-              ).astype(jnp.float32)                               # [A,KO,KS]
-        p_sel = jnp.sum(oh, axis=0)                               # [KO,KS]
-        char_slot = jnp.sum(
-            oh * a_iota[:, :, None].astype(jnp.float32), axis=(0, 1)
-        ).reshape(1, kp)                                          # char idx
-        # cap at K: tie over-selection spills to slots >= K, kept dead
-        live_slot = (jnp.sum(p_sel, axis=0).reshape(1, kp) > 0) \
-            & (slot_iota < k)
+        slot_f = slot_iota.astype(jnp.float32)                    # [1,KP]
+        cmask = ((slot_f >= r_off) & (slot_f < r_off + r_tot)
+                 ).astype(jnp.float32)                            # [A,KS]
+        n_csum = jnp.sum(cmask, axis=0, keepdims=True)
+        live_slot = (n_csum > 0) & (slot_iota < k)
+        char_slot = jnp.sum(cmask * a_iota.astype(jnp.float32),
+                            axis=0, keepdims=True)                # [1,KS]
+        # rank of slot s within its row, and the row's selection data
+        # gathered by C^T matmuls (0/1 x small ints: exact at DEFAULT)
+        row_off_s = jax.lax.dot_general(
+            r_off, cmask, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [1,KS]
+        rank_s = (slot_f - row_off_s).reshape(kp, 1)              # [KS,1]
+        rc_sel = jax.lax.dot_general(
+            cmask, r_cum, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [KS,KO]
+        ss_sel = jax.lax.dot_general(
+            cmask, sf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [KS,KO]
+        # oh3[s, o] = 1 iff slot s's candidate came from old beam o
+        oh3 = ss_sel * (rc_sel - 1.0 == rank_s).astype(jnp.float32)
 
-        def pick(v):                                              # [1,KP]@P
-            return jnp.dot(v, p_sel, preferred_element_type=jnp.float32)
+        # candidate value at (char(s), parent(s)): gather the row by C,
+        # then contract the parent axis against oh3
+        cand_sel = jax.lax.dot_general(
+            cmask, cand, (((0,), (0,)), ((), ())), precision=_HIGHEST,
+            preferred_element_type=jnp.float32)                   # [KS,KO]
+        cand_val = jnp.sum(oh3 * cand_sel, axis=1,
+                           keepdims=True).reshape(1, kp)          # [1,KS]
+
+        # ---- stacked parent-payload picks: pick(v)[s] = v[parent(s)] --
+        # TWO matmuls instead of ten M=1 launches.  Scores + plen need
+        # Precision.HIGHEST (f32 payloads through a bf16-input MXU);
+        # everything else is re-expressed in <= 8-bit pieces (hash bytes)
+        # so the 1-pass DEFAULT f32 path (bf16 inputs, exact for ints
+        # <= 256, f32 accumulation) is exact.
+        def bytes_of(h):                                          # 4x[1,KP]
+            return [(jax.lax.shift_right_logical(h, s) & 0xFF
+                     ).astype(jnp.float32) for s in (24, 16, 8, 0)]
+
+        hi_stack = jnp.concatenate([stay_pb, stay_pnb, plen], axis=0)
+        hi_out = jax.lax.dot_general(
+            hi_stack, oh3, (((1,), (1,)), ((), ())), precision=_HIGHEST,
+            preferred_element_type=jnp.float32)                   # [3,KS]
+        lo_stack = jnp.concatenate(
+            [last_f, last2_f, slot_f] + bytes_of(h1) + bytes_of(h2), axis=0)
+        lo_out = jax.lax.dot_general(
+            lo_stack, oh3, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [11,KS]
+
+        p_stay_pb, p_stay_pnb = hi_out[0:1, :], hi_out[1:2, :]
+        p_plen = hi_out[2:3, :]
+        p_last, p_last2 = lo_out[0:1, :], lo_out[1:2, :]
+        parent_slot = lo_out[2:3, :]                              # [1,KS]
+
+        def unbytes(rows):                                        # -> i32
+            b3, b2, b1, b0 = (rows[i:i + 1, :].astype(jnp.int32)
+                              for i in range(4))
+            return (jax.lax.shift_left(b3, 24) | jax.lax.shift_left(b2, 16)
+                    | jax.lax.shift_left(b1, 8) | b0)
+
+        p_h1 = unbytes(lo_out[3:7, :])
+        p_h2 = unbytes(lo_out[7:11, :])
 
         sel_is_stay = char_slot == float(blank)
         # candidate masses: stay -> (stay_pb, merged stay_pnb);
         # ext -> (NEG_INF, cand value at the selected cell)
-        cand_val = jnp.sum(oh * cand[:, :, None], axis=(0, 1)).reshape(1, kp)
-        n_pb = jnp.where(live_slot & sel_is_stay, pick(stay_pb), NEG_INF)
+        n_pb = jnp.where(live_slot & sel_is_stay, p_stay_pb, NEG_INF)
         n_pnb = jnp.where(live_slot,
-                          jnp.where(sel_is_stay, pick(stay_pnb), cand_val),
+                          jnp.where(sel_is_stay, p_stay_pnb, cand_val),
                           NEG_INF)
 
         extend = live_slot & ~sel_is_stay
         echar = jnp.where(extend, char_slot, 0.0)
-        n_plen = pick(plen) + extend.astype(jnp.float32)
-        n_last = jnp.where(extend, char_slot, pick(last_f))
-        n_last2 = jnp.where(extend, pick(last_f), pick(last2_f))
-        # hashes: rebuild parent halves exactly, then roll in the char
-        h_hi = jax.lax.shift_right_logical(h1, 16).astype(jnp.float32)
-        h_lo = (h1 & 0xFFFF).astype(jnp.float32)
-        p_h1 = (pick(h_hi).astype(jnp.int32) * 65536
-                + pick(h_lo).astype(jnp.int32))
-        h_hi2 = jax.lax.shift_right_logical(h2, 16).astype(jnp.float32)
-        h_lo2 = (h2 & 0xFFFF).astype(jnp.float32)
-        p_h2 = (pick(h_hi2).astype(jnp.int32) * 65536
-                + pick(h_lo2).astype(jnp.int32))
+        n_plen = p_plen + extend.astype(jnp.float32)
+        n_last = jnp.where(extend, char_slot, p_last)
+        n_last2 = jnp.where(extend, p_last, p_last2)
         ec_i = echar.astype(jnp.int32)
         n_h1 = jnp.where(extend, p_h1 * _H1_MULT + ec_i, p_h1)
         n_h2 = jnp.where(extend, p_h2 * _H2_MULT + ec_i, p_h2)
         n_h1 = jnp.where(live_slot, n_h1, slot_iota + 1)
         n_h2 = jnp.where(live_slot, n_h2, slot_iota + 1)
 
-        # ---- backpointers + state writeback (freeze inactive frames) --
-        parent_slot = jnp.sum(
-            oh * jax.lax.broadcasted_iota(
-                jnp.float32, (a, kp, kp), 1), axis=(0, 1)).reshape(1, kp)
+        # ---- backpointers + state writeback ----------------------------
         packed = (parent_slot.astype(jnp.int32)
                   + jnp.where(extend, (ec_i + 1) * 256, 0))
-        ident = slot_iota                                         # stay self
-        bp_ref[pl.ds(t, 1), :] = jnp.where(active, packed, ident)
+        bp_ref[pl.ds(t, 1), :] = packed
+
+        pb_s[:, :] = n_pb
+        pnb_s[:, :] = n_pnb
+        plen_s[:, :] = n_plen
+        last_s[:, :] = n_last
+        last2_s[:, :] = n_last2
+        h1_s[:, :] = n_h1
+        h2_s[:, :] = n_h2
+
+    def body(t, _):
+        active = t < frame_len
 
         @pl.when(active)
         def _():
-            pb_s[:, :] = n_pb
-            pnb_s[:, :] = n_pnb
-            plen_s[:, :] = n_plen
-            last_s[:, :] = n_last
-            last2_s[:, :] = n_last2
-            h1_s[:, :] = n_h1
-            h2_s[:, :] = n_h2
+            frame(t)
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            # frozen frame: identity backpointers (stay in same slot)
+            bp_ref[pl.ds(t, 1), :] = slot_iota
 
         return 0
 
@@ -375,9 +469,9 @@ def beam_search_pallas(log_probs: jnp.ndarray,
     if not supported(k, a, lm_order):
         raise ValueError("beam_search_pallas: unsupported configuration")
 
-    lp_t = jnp.moveaxis(log_probs.astype(jnp.float32), 2, 1)      # [B,A,T]
+    lp_t = log_probs.astype(jnp.float32)                          # [B,T,A]
     len_tile = jnp.broadcast_to(
-        frame_lengths.astype(jnp.float32)[:, None], (b, _LANE))
+        frame_lengths.astype(jnp.float32)[:, None, None], (b, 1, _LANE))
     if lm_table is None or lm_order == 0:
         lm_in = jnp.zeros((1, a, 1), jnp.float32)
         rows = 1
@@ -396,9 +490,9 @@ def beam_search_pallas(log_probs: jnp.ndarray,
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((None, a, t_total), lambda i: (i, 0, 0),
+            pl.BlockSpec((None, t_total, a), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _LANE), lambda i: (i, 0),
+            pl.BlockSpec((None, 1, _LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, a, rows), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),

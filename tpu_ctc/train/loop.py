@@ -137,7 +137,8 @@ def train(cfg: Config,
           eval_data: Optional[Sequence[Tuple[np.ndarray, np.ndarray]]] = None,
           mesh=None,
           work_dir: Optional[str] = None,
-          resume: bool = False) -> Tuple[TrainState, Dict[str, float]]:
+          resume: bool = False,
+          alphabet=None) -> Tuple[TrainState, Dict[str, float]]:
     """Run the full training job; returns (final host-side state, last metrics)."""
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -232,6 +233,7 @@ def train(cfg: Config,
                         and step % cfg.train.eval_every == 0):
                     t0 = time.time()
                     ev = evaluate(state.params, cfg, eval_loader, eval_step,
+                                  alphabet=alphabet,
                                   beam_decode_fn=beam_decode_fn)
                     logger.log(kind="eval", step=step, **ev)
                     t_win += time.time() - t0     # exclude eval from window
