@@ -104,3 +104,54 @@ class TestEndToEnd:
         np.testing.assert_array_equal(np.asarray(mask).sum(axis=1), n1)
         # padded frames are zero
         assert np.abs(np.asarray(feats)[1, n1[1]:]).max() == 0.0
+
+
+class TestPreemphasisDither:
+    def test_preemphasis_matches_numpy_reference(self, rng):
+        """Whole-waveform pre-emphasis y[n] = x[n] - c*x[n-1] (y[0]=x[0])
+        through the frontend == applying it in numpy first."""
+        import dataclasses
+
+        from tpu_ctc.config import FrontendConfig
+        from tpu_ctc.frontend.features import extract_features
+
+        cfg0 = FrontendConfig(n_mels=20)
+        cfg_pe = dataclasses.replace(cfg0, preemphasis=0.97)
+        x = rng.randn(2, 4000).astype(np.float32)
+        lens = np.array([4000, 3200], np.int32)
+        # numpy oracle: pre-emphasize, then run the plain frontend
+        y = x.copy()
+        y[:, 1:] = x[:, 1:] - 0.97 * x[:, :-1]
+        f_ref, m_ref = extract_features(jnp.asarray(y), cfg0,
+                                        jnp.asarray(lens))
+        f_pe, m_pe = extract_features(jnp.asarray(x), cfg_pe,
+                                      jnp.asarray(lens))
+        np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_pe))
+        np.testing.assert_allclose(np.asarray(f_pe), np.asarray(f_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_dither_reproducible_and_bounded(self, rng):
+        import dataclasses
+
+        import jax
+
+        from tpu_ctc.config import FrontendConfig
+        from tpu_ctc.frontend.features import extract_features
+
+        cfg0 = FrontendConfig(n_mels=20)
+        cfg_d = dataclasses.replace(cfg0, dither=1.0 / 32768.0)
+        x = jnp.asarray(rng.randn(1, 4000).astype(np.float32) * 0.1)
+        lens = jnp.asarray([4000], jnp.int32)
+        f0, _ = extract_features(x, cfg0, lens)
+        key = jax.random.PRNGKey(3)
+        f1, _ = extract_features(x, cfg_d, lens, dither_key=key)
+        f2, _ = extract_features(x, cfg_d, lens, dither_key=key)
+        # same key -> identical; tiny dither barely perturbs features
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        assert not np.array_equal(np.asarray(f1), np.asarray(f0))
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=0.5)
+
+    def test_defaults_are_reference_neutral(self):
+        from tpu_ctc.config import FrontendConfig
+        cfg = FrontendConfig()
+        assert cfg.preemphasis == 0.0 and cfg.dither == 0.0

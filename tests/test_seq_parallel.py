@@ -72,10 +72,20 @@ class TestSequenceParallel:
                                        rtol=1e-4, atol=1e-5)
 
     def test_sp_with_model_axis_rejected(self):
+        # config-validation error with written rationale (PARITY.md
+        # "Parallelism composition"), not a bare NotImplementedError
         cfg = tiny_config(MeshConfig(data=1, model=2, seq=4))
         mesh = mesh_lib.make_mesh(cfg.mesh)
         state = create_train_state(cfg)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="PARITY.md"):
+            make_train_step(cfg, mesh, state)
+
+    def test_pp_with_seq_axis_rejected(self):
+        cfg = tiny_config(MeshConfig(data=1, model=2, seq=4, pipeline=True,
+                                     pipeline_microbatches=2))
+        mesh = mesh_lib.make_mesh(cfg.mesh)
+        state = create_train_state(cfg)
+        with pytest.raises(ValueError, match="PARITY.md"):
             make_train_step(cfg, mesh, state)
 
 

@@ -34,6 +34,14 @@ class FrontendConfig:
     # 1 = reference-faithful (no striding).
     frame_stride: int = 1
     cmvn: bool = True              # per-utterance mean/variance normalization
+    # Kaldi-fbank-faithful options (PARITY.md "Frontend fidelity"):
+    # pre-emphasis y[n] = x[n] - coeff*x[n-1] over the whole waveform
+    # (0.0 disables; Kaldi default 0.97, applied per frame there — the
+    # boundary-sample delta is documented), and dither = stddev of added
+    # Gaussian noise in the waveform's own units (our audio is [-1, 1]
+    # float, so Kaldi's default "1.0" on int16-scale is ~1/32768 here).
+    preemphasis: float = 0.0
+    dither: float = 0.0
 
     @property
     def feature_dim(self) -> int:

@@ -172,13 +172,26 @@ def stack_context(feats: jnp.ndarray, context: int) -> jnp.ndarray:
 
 
 def extract_features(x: jnp.ndarray, cfg: FrontendConfig,
-                     sample_lengths: Optional[jnp.ndarray] = None
+                     sample_lengths: Optional[jnp.ndarray] = None,
+                     dither_key: Optional[jax.Array] = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full frontend: waveform batch ``[B, N]`` → ``(feats [B, T, F], frame_mask [B, T])``.
 
     ``sample_lengths [B]`` gives valid samples per utterance; frames whose
-    window extends past the valid length are masked out.
+    window extends past the valid length are masked out.  With
+    ``cfg.dither > 0``, Gaussian noise of that stddev is added first
+    (``dither_key`` seeds it; a fixed key is used when omitted so runs
+    stay reproducible); with ``cfg.preemphasis > 0`` the waveform is
+    pre-emphasized (see FrontendConfig / PARITY.md for the deltas vs
+    Kaldi's per-frame variant).
     """
+    if cfg.dither > 0.0:
+        key = dither_key if dither_key is not None else jax.random.PRNGKey(0)
+        x = x + cfg.dither * jax.random.normal(key, x.shape, jnp.float32)
+    if cfg.preemphasis > 0.0:
+        prev = jnp.pad(x[..., :-1],
+                       [(0, 0)] * (x.ndim - 1) + [(1, 0)])
+        x = x - cfg.preemphasis * prev
     feats = log_mel(x, cfg)
     t = feats.shape[-2]
     if sample_lengths is None:

@@ -5,27 +5,37 @@ reference ran as a Cython CPU loop.  The XLA scan implementation in
 :mod:`tpu_ctc.decode.beam` is correct but frame-launch-bound: each frame
 compiles to ~12 small fusions whose [*, K] / [*, A] minor dims pad to 128
 lanes, costing ~17 us/utt/frame at K=128 regardless of pruning.  This
-kernel runs the ENTIRE search for one utterance in one program: all beam
-state lives in VMEM across every frame, each frame is pure VPU/MXU work,
-and the only HBM traffic is streaming the [A, T] posterior block in and a
-[T, K] backpointer block out.
+kernel runs the ENTIRE search in one program per lane-group of
+utterances: all beam state lives in VMEM across every frame, each frame
+is pure VPU/MXU work, and the only HBM traffic is streaming the [T, A]
+posterior blocks in and a [T, K] backpointer block out.
 
 Design constraints of Mosaic (no sort, no dynamic gather/scatter) shape
 the algorithm:
 
-  * top-K selection = **threshold bisection** (60 halvings of the score
-    interval => the threshold lands between the K-th and K+1-th scores)
-    + **rank compaction by triangular matmuls** (lane/sublane cumsums as
-    lower-triangular one-matrices on the MXU) — no sort network.
+  * **lane packing**: at beam width K <= 64, a single utterance uses only
+    K of the 128 VPU lanes, and the whole per-frame update is
+    latency-bound small-vector work.  So 128//K utterances are packed
+    side by side in the lane dimension (their beams in disjoint
+    lane-groups) and advance in the SAME vector ops; all cross-beam
+    matrices (duplicate match, rank cumsums, slot one-hots) are
+    block-diagonal, and per-utterance count/total reductions are one
+    matmul against the block-structured group-sum matrix G.
+  * top-K selection = **per-lane threshold refinement** (8-ary interval
+    search; the per-round counts of all packed utterances come from one
+    [7,128] x G matmul) + **rank compaction by triangular matmuls**
+    (block-triangular cumsums on the MXU) — no sort network.
   * ALL beam-state rebuilds (the XLA version's gathers) are one-hot
-    matmuls: a [K_old, K_new] selection matrix P rebuilds every state
-    vector as ``P^T @ v`` — exact for f32-representable payloads; the
-    32-bit rolling hashes are rebuilt as two exact 16-bit halves.
+    matmuls, batched into two stacked GEMMs per frame: payload f32 rows
+    (scores, lengths) at Precision.HIGHEST — the MXU's default f32 path
+    rounds inputs to bf16, which silently corrupts payloads — and
+    small-int rows (chars, slots, the rolling hashes split into exact
+    8-bit bytes) on the fast default path.
   * duplicate merging reuses beam.py's sort-free mate fold (invertible
-    rolling hash -> K x K equality match), which is already matmul/
-    elementwise-only.
+    rolling hash -> K x K equality match), masked block-diagonal.
   * the n-gram LM lookup is a context one-hot matmul
-    (``tableT [A, A^o-1] @ ctx_onehot [A^o-1, K]``), not a gather.
+    (``tableT [A, A^o-1] @ ctx_onehot [A^o-1, 128]``), not a gather; the
+    packed utterances' contexts live in separate lanes and share it.
   * hypothesis buffers never enter the kernel: each frame emits packed
     (parent | (char+1) << 8) backpointers; the path of the winning beam
     is reconstructed afterwards by one cheap reverse scan + one-hot
@@ -34,7 +44,11 @@ the algorithm:
 Scope: n-gram LM order <= 3 and no neural LM (the XLA path remains for
 those), beam_width <= 128, exact search plus optional ``prune_logp``
 acoustic masking (char_topk stays XLA-only).  Interpret mode makes the
-kernel CI-testable on CPU; parity vs the host dict decoder is exact.
+kernel CI-testable on CPU; parity vs the host dict decoder and the XLA
+search is exact (tests/test_beam_pallas.py), with one caveat: candidates
+whose f32 scores differ by less than (score spread)/2^30 at the beam
+boundary are tie-broken by enumeration order, which may differ from the
+XLA path's (observed only with binding max_len caps on random inputs).
 """
 from __future__ import annotations
 
@@ -59,17 +73,15 @@ _H1_EMPTY = np.int32(np.uint32(0x9E3779B9))
 _H2_EMPTY = np.int32(np.uint32(0x85EBCA6B))
 
 _VMEM_LIMIT = 110 * 1024 * 1024
-# Threshold search: 8-ary interval refinement, fully VECTOR-resident
-# (lo/hi live in [1,1] vregs; the 7 per-round counts are independent
-# reductions that pipeline on the VPU).  The count reductions are the
-# dominant cost, so arity trades rounds against counts/round: 8-ary
-# (7 counts) x 10 rounds measured faster than 16-ary x 8 on v5e.
-# 10 rounds shrink the interval by 8^10 = 2^30.  Since lo0/hi0 are
-# actual candidate values, any two distinct f32 scores in [lo0, hi0]
-# differ by >= 2^-24 * max(|lo0|,|hi0|) >= 2^-25 * (hi0 - lo0) (away
-# from zero), so 2^30 lands the threshold between the K-th and K+1-th
-# distinct scores; closer-than-band ties fall to candidate-index order.
-_BISECT_ITERS = 10
+# Threshold search: 8-ary interval refinement with per-LANE brackets (one
+# independent search per packed utterance, advancing in the same vector
+# ops; the 7 per-round per-utterance counts are ONE [7,128] x G matmul).
+# 9 rounds shrink the interval by 8^9 = 2^27.  Since the brackets start
+# at actual candidate values, any two distinct f32 scores in [lo0, hi0]
+# differ by >= 2^-24 * max(|lo0|,|hi0|) >= 2^-25 * (hi0 - lo0) (away from
+# zero), so 2^27 lands the threshold between the K-th and K+1-th distinct
+# scores; closer-than-band ties fall to candidate-index order.
+_BISECT_ITERS = 9
 _BISECT_ARITY = 8
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -91,6 +103,15 @@ def supported(beam_width: int, vocab: int, lm_order: int,
             and nlm_params is None and not char_topk)
 
 
+def pack_factor(beam_width: int) -> int:
+    """Utterances packed per kernel program (lane-groups of width 128/p)."""
+    if beam_width > 64:
+        return 1
+    if beam_width > 32:
+        return 2
+    return 4
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -99,51 +120,63 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
                  pb_s, pnb_s, plen_s, last_s, last2_s, h1_s, h2_s, *,
                  k: int, a: int, blank: int, t_total: int, max_len: int,
                  lm_order: int, lm_alpha: float, lm_beta: float,
-                 prune_logp: Optional[float]):
-    """One utterance's full search.
+                 prune_logp: Optional[float], pack: int):
+    """One lane-group's full search (``pack`` utterances side by side).
 
-    Refs: lp [T, A] f32 (posteriors, frames in sublanes: frame t is ONE
-    dynamic sublane load, no lane-aligned slicing), len [1, LANE] f32,
-    lm [A^(o-1), A] f32 (tableT, zero-size dummy when no LM),
-    bp out [T, KP] i32 (packed parent|char+1<<8), fin out [8, KP] f32
-    (rows 0..2: pb, pnb, plen).  Scratch: per-beam state rows [1, KP]
-    (f32) and hashes (i32).  KP = 128 lanes; slots >= k stay dead.
+    Refs: lp [T, P, A] f32 (frame t of all packed utts is ONE dynamic
+    sublane load), len [1, LANE] f32 (per-lane frame counts), lm
+    [A^(o-1), A] f32 (tableT, zero-size dummy when no LM), bp out
+    [T, LANE] i32 (packed within-utt parent | (char+1) << 8), fin out
+    [8, LANE] f32 (rows 0..2: pb, pnb, plen).  Scratch: per-beam state
+    rows [1, LANE] (f32) and hashes (i32).  Lane l holds slot l % KQ of
+    utterance l // KQ, KQ = LANE // pack; slots >= k stay dead.
     """
     kp = _LANE
-    # len block is (None, 1, _LANE): batch dim squeezed -> [1, _LANE]
-    frame_len = len_ref[0, 0].astype(jnp.int32)
+    kq = kp // pack
+    f32 = jnp.float32
 
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)   # [1,KP]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)        # [1,KP]
+    slot_in = lane % kq                                           # per-utt
+    utt_of = lane // kq
+    slot_f = slot_in.astype(f32)
+    live_k = slot_in < k
     a_iota = jax.lax.broadcasted_iota(jnp.int32, (a, 1), 0)       # [A,1]
-    live_k = slot_iota < k
 
-    # --- init: slot 0 = empty prefix, others dead with unique hashes
-    pb_s[:, :] = jnp.where(slot_iota == 0, 0.0, NEG_INF)
+    # --- init: slot 0 of each utt = empty prefix, others dead ----------
+    pb_s[:, :] = jnp.where(slot_in == 0, 0.0, NEG_INF)
     pnb_s[:, :] = jnp.full((1, kp), NEG_INF)
-    plen_s[:, :] = jnp.zeros((1, kp), jnp.float32)
-    last_s[:, :] = jnp.zeros((1, kp), jnp.float32)
-    last2_s[:, :] = jnp.zeros((1, kp), jnp.float32)
-    h1_s[:, :] = jnp.where(slot_iota == 0, _H1_EMPTY, slot_iota + 1)
-    h2_s[:, :] = jnp.where(slot_iota == 0, _H2_EMPTY, slot_iota + 1)
+    plen_s[:, :] = jnp.zeros((1, kp), f32)
+    last_s[:, :] = jnp.zeros((1, kp), f32)
+    last2_s[:, :] = jnp.zeros((1, kp), f32)
+    h1_s[:, :] = jnp.where(slot_in == 0, _H1_EMPTY, lane + 1)
+    h2_s[:, :] = jnp.where(slot_in == 0, _H2_EMPTY, lane + 1)
 
-    # triangular one-matrices for lane/sublane cumsums (MXU)
-    ki = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0)
-    kj = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 1)
-    tri_k = (ki <= kj).astype(jnp.float32)                        # [KP,KP]
+    # --- block-structured lane constants (all [KP,KP] 0/1 f32) ---------
+    li = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 1)
+    same_g = (li // kq) == (lj // kq)
+    blk = same_g.astype(f32)                 # block-diag utterance mask
+    tri_blk = ((li <= lj) & same_g).astype(f32)   # within-group cumsum
+    gsum = blk                               # v @ gsum = per-group totals
+    # row_cum @ m_last broadcasts each group's LAST column to the group
+    m_last = (same_g & (li % kq == kq - 1)).astype(f32)
     ai = jax.lax.broadcasted_iota(jnp.int32, (a, a), 0)
     aj = jax.lax.broadcasted_iota(jnp.int32, (a, a), 1)
-    tri_a_strict = (ai < aj).astype(jnp.float32)                  # [A,A]
+    tri_a_strict = (ai < aj).astype(f32)                          # [A,A]
+
+    len_vec = len_ref[0:1, :]                                     # [1,KP]
+    len_max = jnp.max(len_vec)
 
     def frame(t):
-        # Frame t is one dynamic SUBLANE load of lp [T, A] (lane slices
-        # would need 128-alignment; sublane ones don't), then a 32-bit
-        # [1,A]->[A,1] relayout for the column-oriented grid math.
-        # Payload-carrying matmuls use Precision.HIGHEST throughout: the
-        # MXU's DEFAULT f32 path rounds inputs to bf16 (8 mantissa bits),
-        # which silently corrupts scores and hash payloads.  Counting
-        # matmuls (0/1 x small-int, f32 accumulation) are exact at
-        # DEFAULT and stay there.
-        lp = lp_ref[pl.ds(t, 1), :].reshape(a, 1)                 # [A,1]
+        # Frame t of all packed utts: one dynamic SUBLANE load (lane
+        # slices would need 128-alignment; sublane ones don't), then
+        # per-utt [A,1] columns spread to the packed [A,KP] grid.
+        lp_pa = lp_ref[pl.ds(t, 1), :, :].reshape(pack, a)        # [P,A]
+        lp_g = jnp.zeros((a, kp), f32)
+        for j in range(pack):
+            col = lp_pa[j:j + 1, :].reshape(a, 1)                 # [A,1]
+            lp_g = jnp.where(utt_of == j, col, lp_g)              # [A,KP]
+
         pb, pnb = pb_s[:, :], pnb_s[:, :]                         # [1,KP]
         last_f, last2_f = last_s[:, :], last2_s[:, :]
         plen = plen_s[:, :]
@@ -151,9 +184,9 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         last_i = last_f.astype(jnp.int32)
         total = _lse2(pb, pnb)
 
-        onehot_last = (a_iota == last_i).astype(jnp.float32)      # [A,KP]
-        lp_at = jnp.sum(lp * onehot_last, axis=0, keepdims=True)  # lp[last]
-        lp_blank = lp[blank, 0]
+        onehot_last = (a_iota == last_i).astype(f32)              # [A,KP]
+        lp_at = jnp.sum(lp_g * onehot_last, axis=0, keepdims=True)
+        lp_blank = lp_g[blank:blank + 1, :]                       # [1,KP]
 
         # ---- LM rows [A, KP]: tableT [A, ctx] @ ctx_onehot [ctx, KP] --
         lm_row = None
@@ -161,13 +194,13 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
             lm_row = jnp.broadcast_to(lm_ref[:, 0:1], (a, kp))
         elif lm_order == 2:
             lm_row = jnp.dot(lm_ref[:, :], onehot_last, precision=_HIGHEST,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=f32)
         elif lm_order == 3:
             ctx = last2_f.astype(jnp.int32) * a + last_i          # [1,KP]
             c_iota = jax.lax.broadcasted_iota(jnp.int32, (a * a, 1), 0)
-            ctx_oh = (c_iota == ctx).astype(jnp.float32)          # [A^2,KP]
+            ctx_oh = (c_iota == ctx).astype(f32)                  # [A^2,KP]
             lm_row = jnp.dot(lm_ref[:, :], ctx_oh, precision=_HIGHEST,
-                             preferred_element_type=jnp.float32)  # [A,KP]
+                             preferred_element_type=f32)          # [A,KP]
         if lm_row is not None:
             lm_row = lm_alpha * lm_row + lm_beta
 
@@ -175,19 +208,19 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         ph1 = (h1 - last_i) * _H1_INV                             # [1,KP]
         ph2 = (h2 - last_i) * _H2_INV
         has_parent = (plen > 0) & (total > NEG_INF / 2)
-        # match[j, m]: beam j's parent prefix == beam m's prefix.
-        # (Mosaic can't reshape i1 vectors across the minor dim, so the
-        # row-mask lands as an f32 product, not a bool &.)
+        # match[j, m]: beam j's parent prefix == beam m's prefix, same
+        # utterance only.  (Mosaic can't reshape i1 vectors across the
+        # minor dim, so masks land as f32 products, not bool &.)
         eq = ((ph1.reshape(kp, 1) == h1.reshape(1, kp))
               & (ph2.reshape(kp, 1) == h2.reshape(1, kp))
-              ).astype(jnp.float32)                                # [KP,KP]
-        match = eq * has_parent.astype(jnp.float32).reshape(kp, 1)
+              ).astype(f32)                                       # [KP,KP]
+        match = eq * has_parent.astype(f32).reshape(kp, 1) * blk
         # mate-held values via ONE stacked exact one-hot matmul (<= one 1
         # per row); M=3 instead of three M=1 launches on the MXU
         mate_in = jnp.concatenate([pb, total, last_f], axis=0)    # [3,KP]
         mate_out = jax.lax.dot_general(
             mate_in, match, (((1,), (1,)), ((), ())), precision=_HIGHEST,
-            preferred_element_type=jnp.float32)                   # [3,KP]
+            preferred_element_type=f32)                           # [3,KP]
         mate_pb = mate_out[0:1, :]
         mate_total = mate_out[1:2, :]
         mate_last = mate_out[2:3, :]
@@ -199,7 +232,7 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
             #   (lm_row @ match^T)[a, j]
             lm_m = jax.lax.dot_general(
                 lm_row, match, (((1,), (1,)), ((), ())), precision=_HIGHEST,
-                preferred_element_type=jnp.float32)               # [A,KPj]
+                preferred_element_type=f32)                       # [A,KPj]
             ext_from_mate = ext_from_mate + jnp.sum(
                 onehot_last * lm_m, axis=0, keepdims=True)
         gate = has_mate
@@ -213,16 +246,16 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
                          ext_from_mate)
         is_last_g = (a_iota == last_i) & (plen > 0)               # [A,KP]
         base = jnp.where(is_last_g, pb, total)
-        ext = base + lp
+        ext = base + lp_g
         if lm_row is not None:
             ext = ext + lm_row
         if prune_logp is not None:
-            ext = jnp.where(lp < prune_logp, NEG_INF, ext)
+            ext = jnp.where(lp_g < prune_logp, NEG_INF, ext)
         ext = jnp.where(plen >= max_len, NEG_INF, ext)
         # extensions whose mass went to a mate's stay: excl[m, c] =
         # exists j: match[j, m] & last_j == c  ->  onehot_last @ match
         excl = jnp.dot(onehot_last, match,
-                       preferred_element_type=jnp.float32)        # [A,KP]
+                       preferred_element_type=f32)                # [A,KP]
         ext = jnp.where(excl > 0, NEG_INF, ext)
         is_blank_row = a_iota == blank
         live_cols = jnp.broadcast_to(live_k, (a, kp))
@@ -230,99 +263,111 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         cand = jnp.where(is_blank_row, stay_merged, ext)
         cand = jnp.where(live_cols, cand, NEG_INF)                # [A,KP]
 
-        # ---- top-K: 8-ary threshold search -----------------------------
-        # Start from the tightest valid bracket: when >= K live stay
-        # candidates exist, the K-th best overall is >= the worst live
-        # stay (stays are K distinct candidates), so lo0 = min live stay.
-        # Otherwise fall back to the worst finite candidate (no live
-        # candidate may be dropped when fewer than K exist).
-        hi0 = jnp.max(cand, keepdims=True).reshape(1, 1)          # [1,1]
+        # ---- top-K: per-lane 8-ary threshold search --------------------
+        # Brackets: when an utt has >= K live stay candidates, its K-th
+        # best overall is >= its worst live stay (stays are K distinct
+        # candidates); the GLOBAL min live stay lower-bounds every such
+        # utt.  Utts with fewer live candidates fall back to the global
+        # finite minimum (nothing may be dropped when < K exist).
+        hi0 = jnp.max(cand, keepdims=True).reshape(1, 1)
         finite = cand > NEG_INF / 2
         stay_row = cand[blank:blank + 1, :]                       # [1,KP]
-        stay_fin = stay_row > NEG_INF / 2
-        n_stay = jnp.sum(stay_fin.astype(jnp.float32),
-                         keepdims=True).reshape(1, 1)
-        min_stay = jnp.min(jnp.where(stay_fin, stay_row, hi0),
+        stay_fin = (stay_row > NEG_INF / 2).astype(f32)
+        n_stay = jnp.dot(stay_fin, gsum,
+                         preferred_element_type=f32)              # [1,KP]
+        min_stay = jnp.min(jnp.where(stay_fin > 0, stay_row, hi0),
                            keepdims=True).reshape(1, 1)
         min_fin = jnp.min(jnp.where(finite, cand, hi0),
                           keepdims=True).reshape(1, 1)
-        lo = jnp.where(n_stay >= k, min_stay, min_fin) - 1.0      # [1,1]
-        hi = hi0
-        edge_iota = (jnp.arange(1, _BISECT_ARITY, dtype=jnp.int32)
-                     .reshape(1, -1).astype(jnp.float32))         # [1,15]
         kf = jnp.float32(k)
-        for _ in range(_BISECT_ITERS):                # static unroll
-            w = (hi - lo) * (1.0 / _BISECT_ARITY)
-            cnts = []
-            # independent count reductions pipeline on the VPU
-            for j in range(1, _BISECT_ARITY):
-                e = lo + w * j
-                cnts.append(jnp.sum((cand >= e).astype(jnp.float32),
-                                    keepdims=True).reshape(1, 1))
-            cnt_v = jnp.concatenate(cnts, axis=1)                 # [1,15]
-            e_v = lo + w * edge_iota                              # [1,15]
-            ok = cnt_v >= kf
-            # monotone cnt over ascending edges: bracketing pair by max/min
-            lo = jnp.max(jnp.where(ok, e_v, lo),
-                         keepdims=True).reshape(1, 1)
-            hi = jnp.min(jnp.where(ok, hi, e_v),
-                         keepdims=True).reshape(1, 1)
-        # certainly-in set (>= hi has < K members) + ties filled by index
-        sel_top = cand >= hi
-        n_top = jnp.sum(sel_top.astype(jnp.float32),
-                        keepdims=True).reshape(1, 1)
-        mid_mask = (cand >= lo) & (cand < hi) & (cand > NEG_INF / 2)
-        mf = mid_mask.astype(jnp.float32)
-        # global candidate-order cumsum: lanes via tri_k, rows offset
-        row_cum = jnp.dot(mf, tri_k, preferred_element_type=jnp.float32)
-        row_tot = row_cum[:, kp - 1:kp]                           # [A,1]
-        row_off = jax.lax.dot_general(
-            tri_a_strict, row_tot, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [A,1]
-        mid_pos = row_cum + row_off                               # 1-based
-        sel = sel_top | (mid_mask & (mid_pos <= (k - n_top)))
+        lo = jnp.where(n_stay >= kf, min_stay, min_fin) - 1.0     # [1,KP]
+        hi = jnp.broadcast_to(hi0, (1, kp))
+        n_edge = _BISECT_ARITY - 1
+        edge_iota = (jnp.arange(1, _BISECT_ARITY, dtype=jnp.int32)
+                     .reshape(n_edge, 1).astype(f32))             # [7,1]
+        for _ in range(_BISECT_ITERS):               # static unroll
+            w = (hi - lo) * (1.0 / _BISECT_ARITY)                 # [1,KP]
+            e7 = lo + w * edge_iota                               # [7,KP]
+            ge_sums = [
+                jnp.sum((cand >= e7[j:j + 1, :]).astype(f32),
+                        axis=0, keepdims=True)                    # [1,KP]
+                for j in range(n_edge)]
+            # per-utt counts for ALL edges: one [7,KP] x G matmul
+            cnt = jnp.dot(jnp.concatenate(ge_sums, axis=0), gsum,
+                          preferred_element_type=f32)             # [7,KP]
+            ok = cnt >= kf
+            lo = jnp.max(jnp.where(ok, e7, lo), axis=0, keepdims=True)
+            hi = jnp.min(jnp.where(ok, hi, e7), axis=0, keepdims=True)
+        # ---- composite rank: tops first, then ties in index order ------
+        # rank2(c) = per-utt enumeration rank among the certainly-in set
+        # (>= hi), or n_top + rank among the mid band [lo, hi).  Selection
+        # "rank2 <= K" keeps every top and fills remaining slots with mid
+        # candidates in index order — and is PREFIX-CLOSED in rank2, so a
+        # survivor's slot is simply rank2 - 1: one ranking pass assigns
+        # slots, no second cumsum over the selected set.
+        tf = (cand >= hi).astype(f32)
+        mf = ((cand >= lo) & (cand < hi) & finite).astype(f32)
+        # both cumsums + totals + row offsets in ONE stacked matmul each
+        cum2 = jnp.dot(jnp.concatenate([tf, mf], axis=0), tri_blk,
+                       preferred_element_type=f32)                # [2A,KP]
+        tot2 = jnp.dot(cum2, m_last, preferred_element_type=f32)
+        t_cum, m_cum = cum2[:a, :], cum2[a:, :]
+        t_tot, m_tot = tot2[:a, :], tot2[a:, :]
+        off2 = jax.lax.dot_general(
+            tri_a_strict,
+            jnp.concatenate([t_tot, m_tot], axis=1),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                           # [A,2KP]
+        t_off, m_off = off2[:, :kp], off2[:, kp:]
+        # per-utt top count = last row's offset + total ([1,KP] slice)
+        n_top = t_off[a - 1:a, :] + t_tot[a - 1:a, :]
+        # (rank2 itself never materializes: the range masks below place
+        # each survivor at slot rank2-1 directly, and the "rank2 <= K"
+        # cut is live_slot's slot_in < K cap)
 
-        # ---- slot compaction WITHOUT the [A,KO,KS] one-hot cube --------
-        # Slot of candidate (a, o) = its global enumeration rank, so row
-        # a's survivors occupy the CONTIGUOUS slot range
-        # [r_off[a], r_off[a] + r_tot[a]).  That makes the slot->row map C
-        # a cheap 2D range mask, and every gather below a [KS,KO]-sized
-        # 2D op or an MXU matmul — nothing 3D.
-        sf = sel.astype(jnp.float32)
-        r_cum = jnp.dot(sf, tri_k, preferred_element_type=jnp.float32)
-        r_tot = r_cum[:, kp - 1:kp]
-        r_off = jax.lax.dot_general(
-            tri_a_strict, r_tot, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [A,1]
-
-        slot_f = slot_iota.astype(jnp.float32)                    # [1,KP]
-        cmask = ((slot_f >= r_off) & (slot_f < r_off + r_tot)
-                 ).astype(jnp.float32)                            # [A,KS]
+        # ---- slot compaction WITHOUT any one-hot cube ------------------
+        # Row a's survivors occupy TWO contiguous within-utt slot ranges
+        # (its tops at [t_off[a], ..), its chosen mids at
+        # [n_top + m_off[a], ..)): the slot->row map C is a cheap 2D
+        # range-mask union and every gather below is a [KP,KP] 2D op or
+        # an MXU matmul — nothing 3D.
+        mid_base = n_top + m_off                                  # [A,KP]
+        c_top = ((slot_f >= t_off) & (slot_f < t_off + t_tot)
+                 ).astype(f32)                                    # [A,KS]
+        c_mid = ((slot_f >= mid_base) & (slot_f < mid_base + m_tot)
+                 ).astype(f32)
+        cmask = c_top + c_mid                    # disjoint ranges: 0/1
         n_csum = jnp.sum(cmask, axis=0, keepdims=True)
-        live_slot = (n_csum > 0) & (slot_iota < k)
-        char_slot = jnp.sum(cmask * a_iota.astype(jnp.float32),
+        live_slot = (n_csum > 0) & live_k
+        char_slot = jnp.sum(cmask * a_iota.astype(f32),
                             axis=0, keepdims=True)                # [1,KS]
-        # rank of slot s within its row, and the row's selection data
-        # gathered by C^T matmuls (0/1 x small ints: exact at DEFAULT)
-        row_off_s = jax.lax.dot_general(
-            r_off, cmask, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [1,KS]
-        rank_s = (slot_f - row_off_s).reshape(kp, 1)              # [KS,1]
-        rc_sel = jax.lax.dot_general(
-            cmask, r_cum, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [KS,KO]
-        ss_sel = jax.lax.dot_general(
-            cmask, sf, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [KS,KO]
-        # oh3[s, o] = 1 iff slot s's candidate came from old beam o
-        oh3 = ss_sel * (rc_sel - 1.0 == rank_s).astype(jnp.float32)
-
-        # candidate value at (char(s), parent(s)): gather the row by C,
-        # then contract the parent axis against oh3
-        cand_sel = jax.lax.dot_general(
+        # rank of slot s within its row's range (offsets are per-lane)
+        base_s = jnp.sum(c_top * t_off + c_mid * mid_base,
+                         axis=0, keepdims=True)
+        rank_s = (slot_f - base_s).reshape(kp, 1)                 # [KS,1]
+        # gather each slot's row data: one stacked small-int matmul per
+        # range kind (cumsum for the rank match + membership mask, both
+        # exact at DEFAULT) and one HIGHEST matmul for the f32 scores
+        gt = jax.lax.dot_general(
+            c_top, jnp.concatenate([t_cum, tf], axis=1),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                           # [KS,2KP]
+        gm = jax.lax.dot_general(
+            c_mid, jnp.concatenate([m_cum, mf], axis=1),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        cand_g = jax.lax.dot_general(
             cmask, cand, (((0,), (0,)), ((), ())), precision=_HIGHEST,
-            preferred_element_type=jnp.float32)                   # [KS,KO]
-        cand_val = jnp.sum(oh3 * cand_sel, axis=1,
+            preferred_element_type=f32)                           # [KS,KO]
+        rc_sel = gt[:, :kp] + gm[:, :kp]         # within-range cumsum
+        mm_sel = gt[:, kp:] + gm[:, kp:]         # is a member
+        # oh3[s, o] = 1 iff slot s's candidate came from old beam o: the
+        # (rank+1)-th MEMBER of its range (the cumsum also matches the
+        # run of non-members after a member — mm_sel pins the member);
+        # blk keeps it block-diagonal per utterance
+        oh3 = mm_sel * (rc_sel - 1.0 == rank_s).astype(f32) * blk
+
+        cand_val = jnp.sum(oh3 * cand_g, axis=1,
                            keepdims=True).reshape(1, kp)          # [1,KS]
 
         # ---- stacked parent-payload picks: pick(v)[s] = v[parent(s)] --
@@ -333,17 +378,17 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         # <= 256, f32 accumulation) is exact.
         def bytes_of(h):                                          # 4x[1,KP]
             return [(jax.lax.shift_right_logical(h, s) & 0xFF
-                     ).astype(jnp.float32) for s in (24, 16, 8, 0)]
+                     ).astype(f32) for s in (24, 16, 8, 0)]
 
         hi_stack = jnp.concatenate([stay_pb, stay_pnb, plen], axis=0)
         hi_out = jax.lax.dot_general(
             hi_stack, oh3, (((1,), (1,)), ((), ())), precision=_HIGHEST,
-            preferred_element_type=jnp.float32)                   # [3,KS]
+            preferred_element_type=f32)                           # [3,KS]
         lo_stack = jnp.concatenate(
             [last_f, last2_f, slot_f] + bytes_of(h1) + bytes_of(h2), axis=0)
         lo_out = jax.lax.dot_general(
             lo_stack, oh3, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [11,KS]
+            preferred_element_type=f32)                           # [11,KS]
 
         p_stay_pb, p_stay_pnb = hi_out[0:1, :], hi_out[1:2, :]
         p_plen = hi_out[2:3, :]
@@ -369,46 +414,49 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
 
         extend = live_slot & ~sel_is_stay
         echar = jnp.where(extend, char_slot, 0.0)
-        n_plen = p_plen + extend.astype(jnp.float32)
+        n_plen = p_plen + extend.astype(f32)
         n_last = jnp.where(extend, char_slot, p_last)
         n_last2 = jnp.where(extend, p_last, p_last2)
         ec_i = echar.astype(jnp.int32)
         n_h1 = jnp.where(extend, p_h1 * _H1_MULT + ec_i, p_h1)
         n_h2 = jnp.where(extend, p_h2 * _H2_MULT + ec_i, p_h2)
-        n_h1 = jnp.where(live_slot, n_h1, slot_iota + 1)
-        n_h2 = jnp.where(live_slot, n_h2, slot_iota + 1)
+        n_h1 = jnp.where(live_slot, n_h1, lane + 1)
+        n_h2 = jnp.where(live_slot, n_h2, lane + 1)
 
-        # ---- backpointers + state writeback ----------------------------
+        # ---- backpointers + per-lane state freeze ----------------------
+        # utterances in the group end at different frames: lanes of a
+        # finished utt freeze (identity backpointer, state kept)
+        active_l = t < len_vec                                    # [1,KP]
         packed = (parent_slot.astype(jnp.int32)
                   + jnp.where(extend, (ec_i + 1) * 256, 0))
-        bp_ref[pl.ds(t, 1), :] = packed
+        bp_ref[pl.ds(t, 1), :] = jnp.where(active_l, packed, slot_in)
 
-        pb_s[:, :] = n_pb
-        pnb_s[:, :] = n_pnb
-        plen_s[:, :] = n_plen
-        last_s[:, :] = n_last
-        last2_s[:, :] = n_last2
-        h1_s[:, :] = n_h1
-        h2_s[:, :] = n_h2
+        pb_s[:, :] = jnp.where(active_l, n_pb, pb)
+        pnb_s[:, :] = jnp.where(active_l, n_pnb, pnb)
+        plen_s[:, :] = jnp.where(active_l, n_plen, plen)
+        last_s[:, :] = jnp.where(active_l, n_last, last_f)
+        last2_s[:, :] = jnp.where(active_l, n_last2, last2_f)
+        h1_s[:, :] = jnp.where(active_l, n_h1, h1)
+        h2_s[:, :] = jnp.where(active_l, n_h2, h2)
 
     def body(t, _):
-        active = t < frame_len
+        active_any = t < len_max
 
-        @pl.when(active)
+        @pl.when(active_any)
         def _():
             frame(t)
 
-        @pl.when(jnp.logical_not(active))
+        @pl.when(jnp.logical_not(active_any))
         def _():
-            # frozen frame: identity backpointers (stay in same slot)
-            bp_ref[pl.ds(t, 1), :] = slot_iota
+            # whole group frozen: identity backpointers
+            bp_ref[pl.ds(t, 1), :] = slot_in
 
         return 0
 
     jax.lax.fori_loop(0, t_total, body, 0)
     fin = jnp.concatenate([
         pb_s[:, :], pnb_s[:, :], plen_s[:, :],
-        jnp.zeros((5, _LANE), jnp.float32)], axis=0)
+        jnp.zeros((5, _LANE), f32)], axis=0)
     fin_ref[:, :] = fin
 
 
@@ -420,12 +468,12 @@ def _reconstruct(bp: jnp.ndarray, best: jnp.ndarray, plen_best: jnp.ndarray,
                  max_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Follow packed backpointers of the winning slot, newest to oldest.
 
-    bp [B, T, KP] i32 (parent | (char+1) << 8), best [B] slot ids ->
+    bp [B, T, KQ] i32 (parent | (char+1) << 8), best [B] slot ids ->
     (hyps [B, max_len] i32, lengths [B] i32).  One reverse scan emitting
     (char, position) pairs, then a one-hot compaction matmul — all off
     the per-frame hot path.
     """
-    b, t_total, kp = bp.shape
+    b, t_total, kq = bp.shape
 
     def step(slot, bp_t):
         entry = jnp.take_along_axis(bp_t, slot[:, None], axis=1)[:, 0]
@@ -433,7 +481,7 @@ def _reconstruct(bp: jnp.ndarray, best: jnp.ndarray, plen_best: jnp.ndarray,
         parent = entry % 256
         return parent, char
 
-    bp_rev = jnp.moveaxis(bp, 1, 0)[::-1]                         # [T,B,KP]
+    bp_rev = jnp.moveaxis(bp, 1, 0)[::-1]                         # [T,B,KQ]
     _, chars_rev = jax.lax.scan(step, best.astype(jnp.int32), bp_rev)
     chars = chars_rev[::-1]                                       # [T,B]
     emitted = (chars >= 0).astype(jnp.int32)
@@ -458,20 +506,30 @@ def beam_search_pallas(log_probs: jnp.ndarray,
                        lm_alpha: float = 1.0,
                        lm_beta: float = 0.0,
                        prune_logp: Optional[float] = None):
-    """Batched exact prefix beam search, fully fused per utterance.
+    """Batched exact prefix beam search, fully fused.
 
     Same contract as :func:`tpu_ctc.decode.beam.prefix_beam_search`
-    (returns hyps [B, max_len], lengths [B], scores [B]); same math,
-    one kernel program per utterance instead of T compiled frames.
+    (returns hyps [B, max_len], lengths [B], scores [B]); same math, one
+    kernel program per 128//K-utterance lane-group instead of T compiled
+    frames per utterance.
     """
     b, t_total, a = log_probs.shape
     k = beam_width
     if not supported(k, a, lm_order):
         raise ValueError("beam_search_pallas: unsupported configuration")
+    pack = pack_factor(k)
+    kq = _LANE // pack
+    b_pad = -(-b // pack) * pack                  # pad batch to pack size
+    lp = log_probs.astype(jnp.float32)
+    lens = frame_lengths.astype(jnp.int32)
+    if b_pad != b:
+        lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
+        lens = jnp.pad(lens, (0, b_pad - b))      # dummies: 0 frames
+    groups = b_pad // pack
 
-    lp_t = log_probs.astype(jnp.float32)                          # [B,T,A]
-    len_tile = jnp.broadcast_to(
-        frame_lengths.astype(jnp.float32)[:, None, None], (b, 1, _LANE))
+    lp_t = lp.reshape(groups, pack, t_total, a).transpose(0, 2, 1, 3)
+    len_tile = jnp.repeat(lens.reshape(groups, pack), kq,
+                          axis=1)[:, None, :]                     # [G,1,KP]
     if lm_table is None or lm_order == 0:
         lm_in = jnp.zeros((1, a, 1), jnp.float32)
         rows = 1
@@ -484,13 +542,14 @@ def beam_search_pallas(log_probs: jnp.ndarray,
     kernel = functools.partial(
         _beam_kernel, k=k, a=a, blank=blank, t_total=t_total,
         max_len=max_len, lm_order=lm_order if lm_table is not None else 0,
-        lm_alpha=lm_alpha, lm_beta=lm_beta, prune_logp=prune_logp)
+        lm_alpha=lm_alpha, lm_beta=lm_beta, prune_logp=prune_logp,
+        pack=pack)
 
     bp, fin = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(groups,),
         in_specs=[
-            pl.BlockSpec((None, t_total, a), lambda i: (i, 0, 0),
+            pl.BlockSpec((None, t_total, pack, a), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, _LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -504,8 +563,8 @@ def beam_search_pallas(log_probs: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, t_total, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct((b, 8, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((groups, t_total, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((groups, 8, _LANE), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((1, _LANE), jnp.float32) for _ in range(5)]
         + [pltpu.VMEM((1, _LANE), jnp.int32) for _ in range(2)],
@@ -513,10 +572,15 @@ def beam_search_pallas(log_probs: jnp.ndarray,
         interpret=_interpret(),
     )(lp_t, len_tile, lm_in)
 
-    pb, pnb, plen = fin[:, 0, :], fin[:, 1, :], fin[:, 2, :]      # [B,KP]
+    # unpack lane-groups back to per-utterance [B, ...] tensors
+    bp = (bp.reshape(groups, t_total, pack, kq).transpose(0, 2, 1, 3)
+          .reshape(b_pad, t_total, kq)[:b])
+    fin = (fin.reshape(groups, 8, pack, kq).transpose(0, 2, 1, 3)
+           .reshape(b_pad, 8, kq)[:b])
+    pb, pnb, plen = fin[:, 0, :], fin[:, 1, :], fin[:, 2, :]      # [B,KQ]
     score = _lse2(pb, pnb)
     best = jnp.argmax(score, axis=1)
     best_score = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
     plen_best = jnp.take_along_axis(plen, best[:, None], axis=1)[:, 0]
-    hyps, lens = _reconstruct(bp, best, plen_best, max_len)
-    return hyps, lens, best_score
+    hyps, lens_out = _reconstruct(bp, best, plen_best, max_len)
+    return hyps, lens_out, best_score

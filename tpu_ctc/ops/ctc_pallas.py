@@ -69,6 +69,18 @@ def _plan(b_pad: int, s: int):
     return bb, max(8, min(64, tc // 8 * 8))
 
 
+def _pack_plan(s0: int) -> Tuple[int, int]:
+    """(q, s_sub): utterances per 128-lane block and each one's lane
+    width.  When 2L+1 << 128 the lattice wastes most of the VPU lane
+    dim (SURVEY §7.3-1: "pack multiple utterances per lane block");
+    packing q = 128/s_sub utterances per row recovers it — 2x at the
+    TIMIT-shaped point (S0=41), 4x for very short labels."""
+    for s_sub in (16, 32, 64):
+        if s0 <= s_sub:
+            return 128 // s_sub, s_sub
+    return 1, _round_up(max(s0, 128), 128)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -89,19 +101,22 @@ def _lse3(a, b, c):
     return jnp.where(m > NEG_INF / 2, out, NEG_INF)
 
 
-def _shift_lanes(x, shift):
-    """x[..., s] <- x[..., s-shift] with NEG_INF fill (shift > 0)."""
+def _shift_lanes(x, shift, s_sub):
+    """x[..., s] <- x[..., s-shift] with NEG_INF fill (shift > 0),
+    independently within each s_sub-lane sub-block (packed utterances:
+    a roll crossing a sub-block boundary is masked dead)."""
     rolled = pltpu.roll(x, shift=shift, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % s_sub
     return jnp.where(lane >= shift, rolled, NEG_INF)
 
 
-def _shift_lanes_neg(x, shift):
-    """x[..., s] <- x[..., s+shift] with NEG_INF fill (shift > 0)."""
+def _shift_lanes_neg(x, shift, s_sub):
+    """x[..., s] <- x[..., s+shift] with NEG_INF fill (shift > 0),
+    per s_sub-lane sub-block."""
     # pltpu.roll requires a non-negative shift; left-roll by k == roll by S-k.
     rolled = pltpu.roll(x, shift=x.shape[1] - shift, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane < x.shape[1] - shift, rolled, NEG_INF)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % s_sub
+    return jnp.where(lane < s_sub - shift, rolled, NEG_INF)
 
 
 # ---------------------------------------------------------------------------
@@ -109,11 +124,11 @@ def _shift_lanes_neg(x, shift):
 # ---------------------------------------------------------------------------
 
 def _alpha_kernel(emit_ref, skip_ref, init_ref, len_ref,
-                  alpha_out_ref, alpha_scratch):
+                  alpha_out_ref, alpha_scratch, *, s_sub: int):
     ti = pl.program_id(1)
     tc = emit_ref.shape[1]
     skip = skip_ref[:, :] > 0.0
-    length = len_ref[:, 0:1]                      # [BB, 1] f32, static load
+    length = len_ref[:, :]            # [BB, S] f32, per-lane (packed utts)
 
     @pl.when(ti == 0)
     def _():
@@ -122,8 +137,8 @@ def _alpha_kernel(emit_ref, skip_ref, init_ref, len_ref,
     def body(i, alpha):
         t = ti * tc + i
         emit_row = emit_ref[:, i, :]
-        s1 = _shift_lanes(alpha, 1)
-        s2 = jnp.where(skip, _shift_lanes(alpha, 2), NEG_INF)
+        s1 = _shift_lanes(alpha, 1, s_sub)
+        s2 = jnp.where(skip, _shift_lanes(alpha, 2, s_sub), NEG_INF)
         new = _lse3(alpha, s1, s2) + emit_row
         new = jnp.where(t == 0, init_ref[:, :] + emit_row, new)
         alpha = jnp.where(t < length, new, alpha)
@@ -134,12 +149,12 @@ def _alpha_kernel(emit_ref, skip_ref, init_ref, len_ref,
         0, emit_ref.shape[1], body, alpha_scratch[:, :])
 
 
-def _run_alpha(emit, skip, init, lengths, bb, tc):
-    """emit [B,T,S], skip/init [B,S], lengths [B,128] -> alpha_out [B,T,S]."""
+def _run_alpha(emit, skip, init, lengths, bb, tc, s_sub):
+    """emit [B,T,S], skip/init/lengths [B,S] -> alpha_out [B,T,S]."""
     b, t, s = emit.shape
     grid = (b // bb, t // tc)
     return pl.pallas_call(
-        _alpha_kernel,
+        functools.partial(_alpha_kernel, s_sub=s_sub),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bb, tc, s), lambda bi, ti: (bi, ti, 0),
@@ -148,7 +163,7 @@ def _run_alpha(emit, skip, init, lengths, bb, tc):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, s), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 128), lambda bi, ti: (bi, 0),
+            pl.BlockSpec((bb, s), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, tc, s), lambda bi, ti: (bi, ti, 0),
@@ -165,11 +180,11 @@ def _run_alpha(emit, skip, init, lengths, bb, tc):
 # ---------------------------------------------------------------------------
 
 def _beta_kernel(emit_ref, skip2_ref, final_ref, len_ref,
-                 beta_out_ref, be_scratch):
+                 beta_out_ref, be_scratch, *, s_sub: int):
     ti = pl.program_id(1)
     nt = pl.num_programs(1)
     skip2 = skip2_ref[:, :] > 0.0
-    length = len_ref[:, 0:1]                      # [8, 1] f32
+    length = len_ref[:, :]            # [BB, S] f32, per-lane (packed utts)
     tc = emit_ref.shape[1]
 
     @pl.when(ti == 0)
@@ -180,8 +195,8 @@ def _beta_kernel(emit_ref, skip2_ref, final_ref, len_ref,
         i = tc - 1 - j                            # reverse within the chunk
         t = (nt - 1 - ti) * tc + i                # global time (chunks reversed)
         emit_row = emit_ref[:, i, :]
-        s1 = _shift_lanes_neg(be_next, 1)
-        s2 = jnp.where(skip2, _shift_lanes_neg(be_next, 2), NEG_INF)
+        s1 = _shift_lanes_neg(be_next, 1, s_sub)
+        s2 = jnp.where(skip2, _shift_lanes_neg(be_next, 2, s_sub), NEG_INF)
         new = _lse3(be_next, s1, s2)
         beta = jnp.where(t == length - 1, final_ref[:, :],
                          jnp.where(t < length - 1, new, NEG_INF))
@@ -191,13 +206,13 @@ def _beta_kernel(emit_ref, skip2_ref, final_ref, len_ref,
     be_scratch[:, :] = jax.lax.fori_loop(0, tc, body, be_scratch[:, :])
 
 
-def _run_beta(emit, skip2, final, lengths, bb, tc):
+def _run_beta(emit, skip2, final, lengths, bb, tc, s_sub):
     b, t, s = emit.shape
     nt = t // tc
     grid = (b // bb, nt)
     rev = lambda bi, ti: (bi, nt - 1 - ti, 0)
     return pl.pallas_call(
-        _beta_kernel,
+        functools.partial(_beta_kernel, s_sub=s_sub),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bb, tc, s), rev, memory_space=pltpu.VMEM),
@@ -205,7 +220,7 @@ def _run_beta(emit, skip2, final, lengths, bb, tc):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, s), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 128), lambda bi, ti: (bi, 0),
+            pl.BlockSpec((bb, s), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, tc, s), rev, memory_space=pltpu.VMEM),
@@ -220,45 +235,54 @@ def _run_beta(emit, skip2, final, lengths, bb, tc):
 # custom-VJP DP on the emission lattice
 # ---------------------------------------------------------------------------
 
-@jax.custom_vjp
-def _ctc_dp(emit, skip, skip2, init, final, lengths):
-    nll, _ = _ctc_dp_fwd(emit, skip, skip2, init, final, lengths)
-    return nll
+@functools.lru_cache(maxsize=None)
+def _make_ctc_dp(q: int, s_sub: int):
+    """custom-VJP DP specialized to a lane-packing plan (q utterances of
+    s_sub lattice lanes per 128-lane row)."""
 
+    def _fwd(emit, skip, skip2, init, final, lengths):
+        bb, tc = _plan(emit.shape[0], emit.shape[2])
+        alpha = _run_alpha(emit, skip, init, lengths, bb, tc, s_sub)
+        # Frozen final alpha + additive final-state mask -> per-utt log P
+        # (the LSE runs per s_sub sub-block, not across packed utts).
+        a_last = alpha[:, -1, :] + final
+        rows = a_last.shape[0]
+        al = a_last.reshape(rows, q, s_sub)
+        m = jnp.max(al, axis=2)
+        m_safe = jnp.maximum(m, NEG_INF / 2)
+        logp = m_safe + jnp.log(
+            jnp.sum(jnp.exp(al - m_safe[:, :, None]), axis=2) + _LOG_FLOOR)
+        logp = jnp.where(m > NEG_INF / 2, logp, NEG_INF)
+        nll = jnp.minimum(-logp, 1e9)                 # [rows, q]
+        return nll, (emit, skip2, final, lengths, alpha, nll)
 
-def _ctc_dp_fwd(emit, skip, skip2, init, final, lengths):
-    bb, tc = _plan(emit.shape[0], emit.shape[2])
-    alpha = _run_alpha(emit, skip, init, lengths, bb, tc)
-    # Frozen final alpha + additive final-state mask -> per-row log P.
-    a_last = alpha[:, -1, :] + final
-    m = jnp.max(a_last, axis=1)
-    m_safe = jnp.maximum(m, NEG_INF / 2)
-    logp = m_safe + jnp.log(
-        jnp.sum(jnp.exp(a_last - m_safe[:, None]), axis=1) + _LOG_FLOOR)
-    logp = jnp.where(m > NEG_INF / 2, logp, NEG_INF)
-    nll = jnp.minimum(-logp, 1e9)
-    return nll, (emit, skip2, final, lengths, alpha, nll)
+    def _bwd(res, g):
+        emit, skip2, final, lengths, alpha, nll = res
+        bb, tc = _plan(emit.shape[0], emit.shape[2])
+        beta = _run_beta(emit, skip2, final, lengths, bb, tc, s_sub)
+        # gamma[b,t,s] = exp(alpha + beta - logP); d nll/d emit = -gamma.
+        nll_lanes = jnp.repeat(nll, s_sub, axis=1)    # [rows, S]
+        log_gamma = alpha + beta + nll_lanes[:, None, :]
+        gamma = jnp.where(log_gamma > NEG_INF / 2, jnp.exp(log_gamma), 0.0)
+        # per-lane activity: packed utts in a row have different lengths
+        active = (jnp.arange(alpha.shape[1])[None, :, None]
+                  < lengths[:, None, :]).astype(gamma.dtype)
+        gamma = gamma * active
+        # Infeasible utts (clamped nll) carry no gradient.
+        feasible = jnp.repeat(nll < 1e9, s_sub, axis=1)[:, None, :]
+        g_lanes = jnp.repeat(g, s_sub, axis=1)[:, None, :]
+        demit = jnp.where(feasible, -gamma * g_lanes, 0.0)
+        z = lambda x: jnp.zeros_like(x)
+        return (demit, z(skip2), z(skip2), z(final), z(final),
+                jnp.zeros_like(lengths))
 
+    @jax.custom_vjp
+    def dp(emit, skip, skip2, init, final, lengths):
+        nll, _ = _fwd(emit, skip, skip2, init, final, lengths)
+        return nll
 
-def _ctc_dp_bwd(res, g):
-    emit, skip2, final, lengths, alpha, nll = res
-    bb, tc = _plan(emit.shape[0], emit.shape[2])
-    beta = _run_beta(emit, skip2, final, lengths, bb, tc)
-    # gamma[b,t,s] = exp(alpha + beta - logP); d nll/d emit = -gamma.
-    log_gamma = alpha + beta + nll[:, None, None]
-    gamma = jnp.where(log_gamma > NEG_INF / 2, jnp.exp(log_gamma), 0.0)
-    active = (jnp.arange(alpha.shape[1])[None, :]
-              < lengths[:, 0][:, None]).astype(gamma.dtype)
-    gamma = gamma * active[:, :, None]
-    # Infeasible rows (clamped nll) carry no gradient.
-    feasible = (nll < 1e9)[:, None, None]
-    demit = jnp.where(feasible, -gamma * g[:, None, None], 0.0)
-    z = lambda x: jnp.zeros_like(x)
-    return (demit, z(skip2), z(skip2), z(final), z(final),
-            jnp.zeros_like(lengths))
-
-
-_ctc_dp.defvjp(_ctc_dp_fwd, _ctc_dp_bwd)
+    dp.defvjp(_fwd, _bwd)
+    return dp
 
 
 # ---------------------------------------------------------------------------
@@ -276,9 +300,11 @@ def ctc_loss_from_log_probs(log_probs: jnp.ndarray,
     labels = labels.astype(jnp.int32)
     ext, allow_skip = extend_labels(labels, blank)            # [B, S0]
     s0 = ext.shape[1]
-    s = _round_up(max(s0, 128), 128)
-    bb, tc = _plan(_round_up(b, 8), s)
-    b_pad = _round_up(b, bb)
+    q, s_sub = _pack_plan(s0)        # q utts per 128-lane row (SURVEY §7.3-1)
+    s = q * s_sub
+    b_q = _round_up(b, q) // q       # lane-packed batch rows
+    bb, tc = _plan(_round_up(b_q, 8), s)
+    b_pad = _round_up(b_q, bb)
     t_pad = _round_up(t, tc)
 
     lengths = logit_lengths.astype(jnp.int32)
@@ -311,22 +337,33 @@ def ctc_loss_from_log_probs(log_probs: jnp.ndarray,
                       | ((s_idx == last - 1) & (lab_len[:, None] > 0)),
                       0.0, NEG_INF)
 
-    # Pad to kernel tiles.  Padded rows get length 0 (never active); padded
-    # lanes get NEG_INF emissions (dead states); padded frames freeze alpha.
-    emit = jnp.pad(emit, ((0, b_pad - b), (0, t_pad - t), (0, s - s0)),
-                   constant_values=NEG_INF)
-    pad_bs = lambda x: jnp.pad(x, ((0, b_pad - b), (0, s - s0)),
-                               constant_values=NEG_INF)
-    pad_bs0 = lambda x: jnp.pad(x, ((0, b_pad - b), (0, s - s0)))
-    # float32 so the custom-VJP cotangent is an ordinary zero array
-    # (integer primals would need float0 cotangents).
-    len_bcast = jnp.broadcast_to(
-        jnp.pad(lengths, (0, b_pad - b)).astype(jnp.float32)[:, None],
-        (b_pad, 128))
+    # Pack q utterances per 128-lane row, then pad to kernel tiles.
+    # Padded utts get length 0 (never active); padded lanes get NEG_INF
+    # emissions (dead states); padded frames freeze alpha.
+    b_grp = b_q * q                  # batch rounded up to the pack factor
 
-    nll = _ctc_dp(emit, pad_bs0(skip), pad_bs0(skip2), pad_bs(init),
-                  pad_bs(final), len_bcast)
-    return nll[:b]
+    def pack_bs(x, fill):            # [B, S0] -> [b_pad, q*s_sub]
+        x = jnp.pad(x, ((0, b_grp - b), (0, s_sub - s0)),
+                    constant_values=fill)
+        x = x.reshape(b_q, q * s_sub)
+        return jnp.pad(x, ((0, b_pad - b_q), (0, 0)), constant_values=fill)
+
+    emit = jnp.pad(emit, ((0, b_grp - b), (0, t_pad - t), (0, s_sub - s0)),
+                   constant_values=NEG_INF)
+    emit = (emit.reshape(b_q, q, t_pad, s_sub).transpose(0, 2, 1, 3)
+            .reshape(b_q, t_pad, s))
+    emit = jnp.pad(emit, ((0, b_pad - b_q), (0, 0), (0, 0)),
+                   constant_values=NEG_INF)
+    # float32 so the custom-VJP cotangent is an ordinary zero array
+    # (integer primals would need float0 cotangents); per-LANE lengths so
+    # packed utts freeze independently.
+    len_lanes = pack_bs(
+        jnp.broadcast_to(lengths.astype(jnp.float32)[:, None], (b, s0)), 0.0)
+
+    dp = _make_ctc_dp(q, s_sub)
+    nll = dp(emit, pack_bs(skip, 0.0), pack_bs(skip2, 0.0),
+             pack_bs(init, NEG_INF), pack_bs(final, NEG_INF), len_lanes)
+    return nll.reshape(-1)[:b]
 
 
 def ctc_loss(logits, labels, logit_lengths, label_lengths, blank: int = 0):

@@ -194,16 +194,38 @@ def make_train_step(cfg: Config, mesh: Mesh, state: TrainState):
     if cfg.mesh.pipeline:
         from tpu_ctc.parallel.mesh import AXIS_SEQ
         if dict(mesh.shape).get(AXIS_SEQ, 1) > 1:
-            raise NotImplementedError(
-                "pipeline and seq parallelism cannot yet be combined")
+            # Config validation, not a missing feature: PP stages the
+            # layer stack over 'model' while SP rings the time axis over
+            # 'seq'; composing them would ring BiRNN carries through
+            # every pipeline stage each microbatch tick, serializing the
+            # two schedules against each other.  Shapes that need both
+            # are served by DPxPP with remat (memory) or DPxSP (long
+            # utterances).  Rationale: PARITY.md "Parallelism
+            # composition".
+            raise ValueError(
+                "mesh config invalid: pipeline=True with seq>1 is "
+                "unsupported (PP microbatch schedule and SP carry rings "
+                "serialize each other; use DPxPP or DPxSP — see "
+                "PARITY.md)")
         if dict(mesh.shape).get(AXIS_MODEL, 1) < 2:
             raise ValueError("mesh.pipeline requires model axis >= 2 stages")
         from tpu_ctc.parallel.pipeline import make_pp_loss_fn
         loss_closure, _, _ = make_pp_loss_fn(cfg, mesh)
     elif _uses_sp(mesh):
         if dict(mesh.shape).get(AXIS_MODEL, 1) > 1:
-            raise NotImplementedError(
-                "seq and model parallelism cannot yet be combined")
+            # Config validation, not a missing feature: SP's chunk-local
+            # recurrence runs the fused Pallas kernel per device inside
+            # shard_map, while TP's reduce-scattered projections assume
+            # the full time axis is device-local; composing them would
+            # force the scan fallback AND a collective per carry hop.
+            # BASELINE's five preset configs never need SPxTP: config 5
+            # (wide model) is TPxDP, long-utterance configs are SPxDP.
+            # Rationale: PARITY.md "Parallelism composition".
+            raise ValueError(
+                "mesh config invalid: seq>1 with model>1 is unsupported "
+                "(SP carry rings and TP reduce-scatters compose into a "
+                "per-chunk collective chain; use DPxTP or DPxSP — see "
+                "PARITY.md)")
         from tpu_ctc.parallel.seq_parallel import make_sp_loss_fn
         loss_closure, _ = make_sp_loss_fn(cfg, mesh)
     elif tp:
