@@ -1,0 +1,68 @@
+"""On-chip decode smoke: fused Pallas beam search at the PRODUCT shape.
+
+VERDICT r3 #1 post-mortem: the fused kernel had been validated at every
+vocab except the default alphabet (A=29), where it failed to compile on
+real TPU.  This target compiles and parity-checks the kernel at exactly
+the configuration users run — B=32, T=400, K=64, vocab=29 (preset 4's
+decode shape) — against the XLA scan search, ON THE CURRENT BACKEND.
+
+Run on a TPU host:  python tools/smoke_tpu_decode.py
+Exit code 0 = compiled + exact parity; nonzero otherwise.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(batch=32, t_frames=400, vocab=29, beam=64, max_len=128):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_ctc.decode.beam import prefix_beam_search
+    from tpu_ctc.decode.lm import train_ngram_lm
+    from tpu_ctc.ops.beam_pallas import beam_search_pallas
+
+    dev = jax.devices()[0]
+    print(f"backend: {dev.platform} {dev.device_kind}", flush=True)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(batch, t_frames, vocab).astype(np.float32) * 2
+    lp = jnp.asarray(x - np.log(np.exp(x).sum(-1, keepdims=True)))
+    lens = jnp.asarray(
+        rng.randint(t_frames // 2, t_frames + 1, size=batch), jnp.int32)
+
+    seqs = [rng.randint(1, vocab, 40).astype(np.int32) for _ in range(50)]
+    lm = train_ngram_lm(seqs, vocab, order=3)
+
+    failures = 0
+    for label, kw in [
+        ("no-LM", {}),
+        ("3-gram LM", dict(lm_table=lm.tables_device(), lm_order=3,
+                           lm_alpha=0.8, lm_beta=0.5)),
+    ]:
+        t0 = time.time()
+        hp, hl, sp = beam_search_pallas(lp, lens, beam_width=beam,
+                                        max_len=max_len, **kw)
+        jax.block_until_ready(hp)
+        t_pallas = time.time() - t0
+        hx, xl, sx = prefix_beam_search(lp, lens, beam_width=beam,
+                                        max_len=max_len, **kw)
+        jax.block_until_ready(hx)
+        score_diff = float(jnp.max(jnp.abs(sp - sx)))
+        hyp_match = bool(jnp.all(hp == hx)) and bool(jnp.all(hl == xl))
+        ok = score_diff == 0.0 and hyp_match
+        failures += 0 if ok else 1
+        print(f"{label}: compile+run {t_pallas:.1f}s  "
+              f"score_diff={score_diff:.2e}  hyp_match={hyp_match}  "
+              f"{'OK' if ok else 'FAIL'}", flush=True)
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,12 +47,23 @@ def main():
                    help="static per-frame extension-char cap (0 = exact)")
     p.add_argument("--prune-logp", type=float, default=None,
                    help="acoustic log-prob pruning threshold")
+    p.add_argument("--neural-lm", type=int, default=0, metavar="H",
+                   help="fuse a GRU char LM of hidden size H (runs the XLA "
+                        "search — the fused kernel excludes neural LMs; "
+                        "SURVEY C10 / NAACL'15 headline path)")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
     from tpu_ctc.decode.beam import prefix_beam_search, prefix_beam_search_host
     from tpu_ctc.decode import cpp_decoder
+
+    nlm_params = None
+    if args.neural_lm:
+        from tpu_ctc.decode import neural_lm
+        nlm_cfg = neural_lm.CharRNNLMConfig(vocab_size=args.vocab,
+                                            hidden_dim=args.neural_lm)
+        nlm_params = neural_lm.init_params(jax.random.PRNGKey(0), nlm_cfg)
 
     rng = np.random.RandomState(0)
     lp_np = np.asarray(
@@ -65,7 +76,8 @@ def main():
 
     f = jax.jit(lambda x, l: prefix_beam_search(
         x, l, beam_width=args.beam, max_len=args.max_len,
-        char_topk=args.char_topk, prune_logp=args.prune_logp))
+        char_topk=args.char_topk, prune_logp=args.prune_logp,
+        nlm_params=nlm_params))
     out = f(lp, fl)
     np.asarray(out[0])          # host fetch = true sync on the TPU tunnel
     t0 = time.time()

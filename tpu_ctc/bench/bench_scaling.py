@@ -29,7 +29,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure(n_dev, *, per_dev_batch, frames, hidden, layers, steps):
+def measure(n_dev, *, per_dev_batch, frames, hidden, layers, steps,
+            strategy="dp", fixed_batch=0):
+    """One strategy/mesh point.  strategy:
+      dp — 'data' = n_dev (weak scaling: batch grows with devices)
+      sp — 'seq'  = n_dev (fixed batch; time axis sharded)
+      pp — 'model' = n_dev pipeline STAGES (fixed batch; quantifies the
+           GPipe idle-tick tax: (s-1)/(s+m-1) of stage ticks are
+           structurally idle, plus replicated pre/post work — VERDICT
+           r3 #5's measurement)
+    """
     import jax
     from tpu_ctc.config import (Config, DataConfig, MeshConfig, ModelConfig,
                                 OptimConfig, TrainConfig)
@@ -39,14 +48,20 @@ def measure(n_dev, *, per_dev_batch, frames, hidden, layers, steps):
     from tpu_ctc.train.step import (batch_shardings, create_train_state,
                                     make_train_step)
 
-    batch = per_dev_batch * n_dev
+    batch = fixed_batch or per_dev_batch * n_dev
+    mesh_cfg = {
+        "dp": dict(data=n_dev, model=1, seq=1),
+        "sp": dict(data=1, model=1, seq=n_dev),
+        "pp": dict(data=1, model=n_dev, seq=1,
+                   pipeline=n_dev > 1, pipeline_microbatches=4),
+    }[strategy]
     cfg = Config(
         model=ModelConfig(input_dim=120, hidden_dim=hidden, num_pre_layers=1,
                           num_bi_layers=layers, vocab_size=29),
         optim=OptimConfig(learning_rate=1e-3),
         data=DataConfig(batch_size=batch, max_frames=frames,
                         bucket_boundaries=(frames,)),
-        mesh=MeshConfig(data=n_dev, model=1, seq=1),
+        mesh=MeshConfig(**mesh_cfg),
         train=TrainConfig(metrics_path=""))
     rng = np.random.RandomState(0)
     utts = [(rng.randn(frames, 120).astype(np.float32),
@@ -87,6 +102,12 @@ def main():
                    help="comma list, default: 1 and all available")
     p.add_argument("--force-cpu-devices", type=int, default=0,
                    help="use a virtual N-device CPU mesh (functional check)")
+    p.add_argument("--strategy", choices=("dp", "sp", "pp"), default="dp",
+                   help="dp: weak-scaled data parallel; sp/pp: FIXED batch "
+                        "sharded over 'seq' / staged over 'model'")
+    p.add_argument("--fixed-batch", type=int, default=0,
+                   help="override the global batch (default: "
+                        "per-device-batch, weak-scaled only for dp)")
     args = p.parse_args()
 
     if args.force_cpu_devices:
@@ -103,18 +124,29 @@ def main():
     counts = ([int(x) for x in args.device_counts.split(",") if x]
               or sorted({1, avail}))
     counts = [c for c in counts if c <= avail]
+    fixed = args.fixed_batch
+    if args.strategy != "dp" and not fixed:
+        fixed = args.per_device_batch      # sp/pp: fixed batch by default
     kw = dict(per_dev_batch=args.per_device_batch, frames=args.frames,
-              hidden=args.hidden, layers=args.layers, steps=args.steps)
+              hidden=args.hidden, layers=args.layers, steps=args.steps,
+              strategy=args.strategy, fixed_batch=fixed)
     results = {c: measure(c, **kw) for c in counts}
     base_dt = results[counts[0]][0]
     n_max = counts[-1]
     eff = base_dt / results[n_max][0]
-    log(f"[scaling] weak-scaling efficiency at {n_max} devices: {eff:.3f}")
+    if args.strategy == "dp":
+        log(f"[scaling] weak-scaling efficiency at {n_max} devices: {eff:.3f}")
+    else:
+        # fixed batch: eff = speedup (sp) / slowdown i.e. pipeline tax (pp)
+        log(f"[scaling] {args.strategy} t(1)/t({n_max}) at fixed batch: "
+            f"{eff:.3f}")
     print(json.dumps({
-        "metric": "dp_scaling_efficiency",
+        "metric": f"{args.strategy}_scaling_efficiency",
         "value": round(eff, 4),
-        "unit": f"t(1)/t({n_max}) weak scaling "
-                f"({jax.devices()[0].platform})",
+        "unit": f"t(1)/t({n_max}) "
+                + ("weak scaling" if args.strategy == "dp"
+                   else "fixed batch")
+                + f" ({jax.devices()[0].platform})",
         "vs_baseline": round(results[n_max][1] / results[counts[0]][1], 2),
     }), flush=True)
 

@@ -218,6 +218,16 @@ def cmd_print_config(args):
 
 
 def main(argv=None):
+    # Respect an explicit JAX_PLATFORMS=cpu even on hosts whose
+    # sitecustomize force-registers an accelerator plugin and overrides
+    # the env var at interpreter start (same gate as __graft_entry__ /
+    # tests/conftest.py): a CLI run the user pinned to CPU must never
+    # contend for the TPU claim.
+    import os
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     p = argparse.ArgumentParser(prog="tpu_ctc")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -95,7 +95,7 @@ class ManifestDataset:
             wav, _ = audio_io.read_audio(
                 self._abspath(rec["audio"]),
                 target_rate=self.cfg.frontend.sample_rate)
-            feats = self._process_audio(wav)
+            feats = self._process_audio(wav, utt_index=i)
         else:
             raise ValueError(f"manifest record needs 'feats' or 'audio': {rec}")
         item = (feats, self._labels[i])
@@ -154,7 +154,8 @@ class ManifestDataset:
                 x = x[:, ::fe.frame_stride]
             return np.asarray(x[0])
 
-    def _process_audio(self, wav: np.ndarray) -> np.ndarray:
+    def _process_audio(self, wav: np.ndarray,
+                       utt_index: int = 0) -> np.ndarray:
         import jax.numpy as jnp
         fe = self.cfg.frontend
         # Quantize waveform length so jit sees a bounded shape set
@@ -165,8 +166,12 @@ class ManifestDataset:
         x = np.zeros(n_pad, dtype=np.float32)
         x[:n] = wav
         with _cpu_default_device():
+            # per-utterance dither seed: a fixed key would add the SAME
+            # noise pattern to every utterance, defeating dither's
+            # decorrelation purpose (ADVICE r3)
             feats, mask = _jit_extract(fe)(
-                jnp.asarray(x)[None], jnp.asarray([n], dtype=np.int32))
+                jnp.asarray(x)[None], jnp.asarray([n], dtype=np.int32),
+                jnp.asarray(utt_index, dtype=np.uint32))
             t = int(np.asarray(mask[0]).sum())
             return np.asarray(feats[0, :t])
 
@@ -178,8 +183,11 @@ def _jit_extract(fe_cfg):
 
     from tpu_ctc.frontend import features as F
 
-    def run(x, sl):
-        return F.extract_features(x, fe_cfg, sample_lengths=sl)
+    def run(x, sl, seed):
+        key = (jax.random.PRNGKey(seed)
+               if fe_cfg.dither > 0.0 else None)
+        return F.extract_features(x, fe_cfg, sample_lengths=sl,
+                                  dither_key=key)
 
     return jax.jit(run)
 

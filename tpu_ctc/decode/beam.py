@@ -135,7 +135,7 @@ def _lm_scores(lm_table: jnp.ndarray, order: int, last: jnp.ndarray,
 def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
                         lm_table, lm_order, lm_alpha, lm_beta,
                         nlm_params=None, char_topk=0, prune_logp=None,
-                        unroll=8):
+                        unroll=8, return_beams=False):
     """Beam search for one utterance; vmapped over the batch by the caller.
 
     Duplicate-prefix merging is SORT-FREE: the only possible collision is
@@ -260,19 +260,33 @@ def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
                 @ (last[:, None] == chars_sel[None, :]).astype(jnp.float32))
         ext_pnb = jnp.where(excl > 0, NEG_INF, ext_pnb)
 
-        # ---- single top-K over K stay + K*C extension candidates -------
-        scores = jnp.concatenate(
-            [_lse2(stay_pb, stay_pnb), ext_pnb.reshape(-1)])
+        # ---- single top-K over the [A, K] candidate grid ---------------
+        # The grid is laid out in the SAME enumeration order as the fused
+        # Pallas kernel (char-major rows, beams within a row, stays on
+        # the blank row) and the survivors are re-packed in enumeration
+        # rank (dead slots last) — top_k breaks exact-equal-score ties by
+        # lowest index, so both device search paths make IDENTICAL
+        # selections and keep IDENTICAL beam orderings: parity with the
+        # kernel is bit-exact, including tie-breaks (VERDICT r3 #7).
+        ext_full = jnp.full((k, a), NEG_INF)
+        ext_full = ext_full.at[:, chars_sel].set(ext_pnb)         # [K, A]
+        stay_merged = _lse2(stay_pb, stay_pnb)
+        grid = jnp.where(chars[:, None] == blank,
+                         stay_merged[None, :], ext_full.T)        # [A, K]
+        scores = grid.reshape(-1)
         top_score, top_idx = jax.lax.top_k(scores, k)
         dead = top_score < NEG_INF / 2
-        is_stay = top_idx < k
-        eidx = jnp.maximum(top_idx - k, 0)
-        t_parent = jnp.where(is_stay, top_idx, eidx // c_cols)
-        t_ext = jnp.where(is_stay, -1, chars_sel[eidx % c_cols])
+        order = jnp.argsort(jnp.where(dead, jnp.int32(a * k), top_idx))
+        top_idx = top_idx[order]
+        dead = dead[order]
+        t_parent = top_idx % k
+        cidx = top_idx // k
+        is_stay = cidx == blank
+        t_ext = jnp.where(is_stay, -1, cidx)
         n_pb = jnp.where(dead | ~is_stay, NEG_INF, stay_pb[t_parent])
         n_pnb = jnp.where(dead, NEG_INF,
                           jnp.where(is_stay, stay_pnb[t_parent],
-                                    ext_pnb.reshape(-1)[eidx]))
+                                    scores[top_idx]))
 
         # ---- rebuild beam state ----------------------------------------
         n_buf = state["buf"][t_parent]                         # [K, L]
@@ -318,11 +332,15 @@ def _beam_search_single(log_probs, frame_len, *, beam_width, max_len, blank,
 
     score = _lse2(state["pb"], state["pnb"])
     best = jnp.argmax(score)
+    if return_beams:
+        return (state["buf"][best], state["plen"][best], score[best],
+                score, state["plen"])
     return state["buf"][best], state["plen"][best], score[best]
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "beam_width", "max_len", "blank", "lm_order", "char_topk", "prune_logp"))
+    "beam_width", "max_len", "blank", "lm_order", "char_topk", "prune_logp",
+    "return_beams"))
 def prefix_beam_search(log_probs: jnp.ndarray,
                        frame_lengths: jnp.ndarray,
                        beam_width: int = 64,
@@ -334,7 +352,8 @@ def prefix_beam_search(log_probs: jnp.ndarray,
                        lm_beta: float = 0.0,
                        nlm_params=None,
                        char_topk: int = 0,
-                       prune_logp: Optional[float] = None):
+                       prune_logp: Optional[float] = None,
+                       return_beams: bool = False):
     """Batched on-device prefix beam search.
 
     Args:
@@ -359,7 +378,8 @@ def prefix_beam_search(log_probs: jnp.ndarray,
         _beam_search_single, beam_width=beam_width, max_len=max_len,
         blank=blank, lm_table=lm_table, lm_order=lm_order,
         lm_alpha=lm_alpha, lm_beta=lm_beta, nlm_params=nlm_params,
-        char_topk=char_topk, prune_logp=prune_logp)
+        char_topk=char_topk, prune_logp=prune_logp,
+        return_beams=return_beams)
     return jax.vmap(fn)(log_probs, frame_lengths)
 
 

@@ -57,6 +57,11 @@ def snake_assignment(lengths: jnp.ndarray, n_shards: int) -> jnp.ndarray:
     cardinality).
     """
     b_total = lengths.shape[0]
+    if b_total % n_shards:
+        # the scatter below collides for ragged batches and would
+        # silently emit a non-permutation (ADVICE r3)
+        raise ValueError(f"snake_assignment: batch {b_total} not divisible "
+                         f"by {n_shards} shards")
     per = b_total // n_shards
     order = jnp.argsort(-lengths.astype(jnp.int32)).astype(jnp.int32)
     pos = jnp.arange(b_total)

@@ -179,11 +179,14 @@ def extract_features(x: jnp.ndarray, cfg: FrontendConfig,
 
     ``sample_lengths [B]`` gives valid samples per utterance; frames whose
     window extends past the valid length are masked out.  With
-    ``cfg.dither > 0``, Gaussian noise of that stddev is added first
-    (``dither_key`` seeds it; a fixed key is used when omitted so runs
-    stay reproducible); with ``cfg.preemphasis > 0`` the waveform is
-    pre-emphasized (see FrontendConfig / PARITY.md for the deltas vs
-    Kaldi's per-frame variant).
+    ``cfg.dither > 0``, Gaussian noise of that stddev is added first —
+    callers should pass a per-batch/per-utterance ``dither_key`` (the
+    manifest loader derives one from the utterance index) so noise is
+    decorrelated across utterances; when omitted a fixed key keeps runs
+    reproducible but repeats one noise pattern.  With
+    ``cfg.preemphasis > 0`` the waveform is pre-emphasized (see
+    FrontendConfig / PARITY.md for the deltas vs Kaldi's per-frame
+    variant).
     """
     if cfg.dither > 0.0:
         key = dither_key if dither_key is not None else jax.random.PRNGKey(0)

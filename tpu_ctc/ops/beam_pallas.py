@@ -42,13 +42,18 @@ the algorithm:
     compaction in XLA (off the hot loop).
 
 Scope: n-gram LM order <= 3 and no neural LM (the XLA path remains for
-those), beam_width <= 128, exact search plus optional ``prune_logp``
-acoustic masking (char_topk stays XLA-only).  Interpret mode makes the
-kernel CI-testable on CPU; parity vs the host dict decoder and the XLA
-search is exact (tests/test_beam_pallas.py), with one caveat: candidates
-whose f32 scores differ by less than (score spread)/2^30 at the beam
-boundary are tie-broken by enumeration order, which may differ from the
-XLA path's (observed only with binding max_len caps on random inputs).
+those), beam_width <= 128, any vocab <= 64 (the wrapper pads the vocab
+axis to a sublane multiple — Mosaic cannot compile unaligned [A, lane]
+layouts, which is why the default A=29 alphabet failed on hardware in
+round 3), exact search plus optional ``prune_logp`` acoustic masking
+(char_topk stays XLA-only).  Interpret mode makes the kernel CI-testable
+on CPU; parity vs the host dict decoder and the XLA search is
+BIT-EXACT, including tie-breaks: the top-K threshold search runs on
+order-isomorphic integer keys (no residual float band) and both device
+paths keep survivors in the same enumeration order (stays on the blank
+row, then (char, beam); boundary ties resolved by lowest enumeration
+index), so the per-frame beam states are identical arrays
+(tests/test_beam_pallas.py::test_long_utterance_beam_state_parity).
 """
 from __future__ import annotations
 
@@ -76,14 +81,32 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 # Threshold search: 8-ary interval refinement with per-LANE brackets (one
 # independent search per packed utterance, advancing in the same vector
 # ops; the 7 per-round per-utterance counts are ONE [7,128] x G matmul).
-# 9 rounds shrink the interval by 8^9 = 2^27.  Since the brackets start
-# at actual candidate values, any two distinct f32 scores in [lo0, hi0]
-# differ by >= 2^-24 * max(|lo0|,|hi0|) >= 2^-25 * (hi0 - lo0) (away from
-# zero), so 2^27 lands the threshold between the K-th and K+1-th distinct
-# scores; closer-than-band ties fall to candidate-index order.
-_BISECT_ITERS = 9
+# The search runs on ORDER-ISOMORPHIC INT32 KEYS (sign-folded f32 bit
+# patterns, `_ordered_key`), not on the floats: integer interval
+# arithmetic has no rounding, so the bracket provably converges to
+# [boundary, boundary + 1] — the selection is the EXACT top-K by score
+# with enumeration-order tie-break on exact-equal scores, with no
+# residual threshold band.  (The r3 float bisection left a
+# spread/2^27 band that silently stalled at the f32 rounding grid;
+# candidates inside it were taken by enumeration order REGARDLESS of
+# score, which diverged from the XLA search's top_k — VERDICT r3 #1/#7.)
+# 13 rounds: 11 shrink a full 2^32 key range below 8, two finish via the
+# w >= 1 edge-coverage step.
+_BISECT_ITERS = 13
 _BISECT_ARITY = 8
 _HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _ordered_key(x):
+    """Map f32 -> i32 preserving order: b >= 0 -> b, else ~b ^ (1 << 31).
+
+    Distinct floats map to distinct keys; -0.0 sorts just below +0.0
+    (indistinguishable to a float compare, deterministic and identical
+    in both device search paths)."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.where(b >= 0, b,
+                     jnp.bitwise_xor(jnp.bitwise_not(b),
+                                     jnp.int32(-2147483648)))
 
 
 def _lse2(a, b):
@@ -263,33 +286,38 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         cand = jnp.where(is_blank_row, stay_merged, ext)
         cand = jnp.where(live_cols, cand, NEG_INF)                # [A,KP]
 
-        # ---- top-K: per-lane 8-ary threshold search --------------------
+        # ---- top-K: per-lane 8-ary threshold search on i32 keys --------
         # Brackets: when an utt has >= K live stay candidates, its K-th
         # best overall is >= its worst live stay (stays are K distinct
         # candidates); the GLOBAL min live stay lower-bounds every such
         # utt.  Utts with fewer live candidates fall back to the global
         # finite minimum (nothing may be dropped when < K exist).
-        hi0 = jnp.max(cand, keepdims=True).reshape(1, 1)
+        kcand = _ordered_key(cand)                                # [A,KP]
         finite = cand > NEG_INF / 2
-        stay_row = cand[blank:blank + 1, :]                       # [1,KP]
-        stay_fin = (stay_row > NEG_INF / 2).astype(f32)
+        khi0 = jnp.max(kcand, keepdims=True).reshape(1, 1)
+        stay_krow = kcand[blank:blank + 1, :]                     # [1,KP]
+        stay_fin = finite[blank:blank + 1, :].astype(f32)
         n_stay = jnp.dot(stay_fin, gsum,
                          preferred_element_type=f32)              # [1,KP]
-        min_stay = jnp.min(jnp.where(stay_fin > 0, stay_row, hi0),
+        min_stay = jnp.min(jnp.where(stay_fin > 0, stay_krow, khi0),
                            keepdims=True).reshape(1, 1)
-        min_fin = jnp.min(jnp.where(finite, cand, hi0),
+        min_fin = jnp.min(jnp.where(finite, kcand, khi0),
                           keepdims=True).reshape(1, 1)
         kf = jnp.float32(k)
-        lo = jnp.where(n_stay >= kf, min_stay, min_fin) - 1.0     # [1,KP]
-        hi = jnp.broadcast_to(hi0, (1, kp))
+        lo = jnp.where(n_stay >= kf, min_stay, min_fin) - 1       # [1,KP]
+        hi = jnp.broadcast_to(khi0 + 1, (1, kp))
         n_edge = _BISECT_ARITY - 1
-        edge_iota = (jnp.arange(1, _BISECT_ARITY, dtype=jnp.int32)
-                     .reshape(n_edge, 1).astype(f32))             # [7,1]
+        edge_iota = jnp.arange(1, _BISECT_ARITY,
+                               dtype=jnp.int32).reshape(n_edge, 1)
         for _ in range(_BISECT_ITERS):               # static unroll
-            w = (hi - lo) * (1.0 / _BISECT_ARITY)                 # [1,KP]
+            # w ~ (hi - lo)/8 without overflow (hi - lo can exceed
+            # int32 range); overshooting edges past hi is harmless —
+            # any edge with count < K is a valid new hi.
+            w = jnp.maximum(jax.lax.shift_right_arithmetic(hi, 3)
+                            - jax.lax.shift_right_arithmetic(lo, 3), 1)
             e7 = lo + w * edge_iota                               # [7,KP]
             ge_sums = [
-                jnp.sum((cand >= e7[j:j + 1, :]).astype(f32),
+                jnp.sum((kcand >= e7[j:j + 1, :]).astype(f32),
                         axis=0, keepdims=True)                    # [1,KP]
                 for j in range(n_edge)]
             # per-utt counts for ALL edges: one [7,KP] x G matmul
@@ -299,19 +327,20 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
             lo = jnp.max(jnp.where(ok, e7, lo), axis=0, keepdims=True)
             hi = jnp.min(jnp.where(ok, hi, e7), axis=0, keepdims=True)
         # ---- composite rank: tops first, then ties in index order ------
-        # rank2(c) = per-utt enumeration rank among the certainly-in set
-        # (>= hi), or n_top + rank among the mid band [lo, hi).  Selection
-        # "rank2 <= K" keeps every top and fills remaining slots with mid
-        # candidates in index order — and is PREFIX-CLOSED in rank2, so a
-        # survivor's slot is simply rank2 - 1: one ranking pass assigns
-        # slots, no second cumsum over the selected set.
-        tf = (cand >= hi).astype(f32)
-        mf = ((cand >= lo) & (cand < hi) & finite).astype(f32)
+        # rank2(c) = per-utt enumeration rank among the strictly-above
+        # set (key >= hi = score > boundary), or n_top + rank among the
+        # exact boundary ties (key == lo after convergence).  Selection
+        # "rank2 <= K" keeps every top and fills remaining slots with
+        # boundary ties in index order — and is PREFIX-CLOSED in rank2,
+        # so a survivor's slot is simply rank2 - 1: one ranking pass
+        # assigns slots, no second cumsum over the selected set.
+        tf = (kcand >= hi).astype(f32)
+        mf = ((kcand >= lo) & (kcand < hi) & finite).astype(f32)
         # both cumsums + totals + row offsets in ONE stacked matmul each
         cum2 = jnp.dot(jnp.concatenate([tf, mf], axis=0), tri_blk,
                        preferred_element_type=f32)                # [2A,KP]
         tot2 = jnp.dot(cum2, m_last, preferred_element_type=f32)
-        t_cum, m_cum = cum2[:a, :], cum2[a:, :]
+        m_cum = cum2[a:, :]
         t_tot, m_tot = tot2[:a, :], tot2[a:, :]
         off2 = jax.lax.dot_general(
             tri_a_strict,
@@ -321,46 +350,48 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         t_off, m_off = off2[:, :kp], off2[:, kp:]
         # per-utt top count = last row's offset + total ([1,KP] slice)
         n_top = t_off[a - 1:a, :] + t_tot[a - 1:a, :]
-        # (rank2 itself never materializes: the range masks below place
-        # each survivor at slot rank2-1 directly, and the "rank2 <= K"
-        # cut is live_slot's slot_in < K cap)
+
+        # ---- selected mask in PURE ENUMERATION ORDER -------------------
+        # Survivors = every top plus the first K - n_top boundary ties in
+        # enumeration order, and each survivor's slot is its enumeration
+        # rank among the survivors — the same ordering the XLA search's
+        # index-sorted top_k emits, so the two device paths keep
+        # IDENTICAL beam layouts frame by frame (bit-exact parity).
+        m_rank = m_off + m_cum                    # 1-indexed among mids
+        msel = mf * (m_rank <= kf - n_top).astype(f32)
+        sf = tf + msel                            # [A,KP] selected (0/1)
+        cum_s = jnp.dot(sf, tri_blk, preferred_element_type=f32)
+        tot_s = jnp.dot(cum_s, m_last, preferred_element_type=f32)
+        off_s = jax.lax.dot_general(
+            tri_a_strict, tot_s, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                           # [A,KP]
 
         # ---- slot compaction WITHOUT any one-hot cube ------------------
-        # Row a's survivors occupy TWO contiguous within-utt slot ranges
-        # (its tops at [t_off[a], ..), its chosen mids at
-        # [n_top + m_off[a], ..)): the slot->row map C is a cheap 2D
-        # range-mask union and every gather below is a [KP,KP] 2D op or
-        # an MXU matmul — nothing 3D.
-        mid_base = n_top + m_off                                  # [A,KP]
-        c_top = ((slot_f >= t_off) & (slot_f < t_off + t_tot)
+        # In enumeration order each row's survivors occupy ONE contiguous
+        # within-utt slot range [off_s[a], off_s[a] + tot_s[a]): the
+        # slot->row map C is a cheap 2D range mask and every gather below
+        # is a [KP,KP] 2D op or an MXU matmul — nothing 3D.
+        c_sel = ((slot_f >= off_s) & (slot_f < off_s + tot_s)
                  ).astype(f32)                                    # [A,KS]
-        c_mid = ((slot_f >= mid_base) & (slot_f < mid_base + m_tot)
-                 ).astype(f32)
-        cmask = c_top + c_mid                    # disjoint ranges: 0/1
-        n_csum = jnp.sum(cmask, axis=0, keepdims=True)
+        n_csum = jnp.sum(c_sel, axis=0, keepdims=True)
         live_slot = (n_csum > 0) & live_k
-        char_slot = jnp.sum(cmask * a_iota.astype(f32),
+        char_slot = jnp.sum(c_sel * a_iota.astype(f32),
                             axis=0, keepdims=True)                # [1,KS]
         # rank of slot s within its row's range (offsets are per-lane)
-        base_s = jnp.sum(c_top * t_off + c_mid * mid_base,
-                         axis=0, keepdims=True)
+        base_s = jnp.sum(c_sel * off_s, axis=0, keepdims=True)
         rank_s = (slot_f - base_s).reshape(kp, 1)                 # [KS,1]
-        # gather each slot's row data: one stacked small-int matmul per
-        # range kind (cumsum for the rank match + membership mask, both
-        # exact at DEFAULT) and one HIGHEST matmul for the f32 scores
-        gt = jax.lax.dot_general(
-            c_top, jnp.concatenate([t_cum, tf], axis=1),
+        # gather each slot's row data: one stacked small-int matmul
+        # (cumsum for the rank match + membership mask, both exact at
+        # DEFAULT) and one HIGHEST matmul for the f32 scores
+        gs = jax.lax.dot_general(
+            c_sel, jnp.concatenate([cum_s, sf], axis=1),
             (((0,), (0,)), ((), ())),
             preferred_element_type=f32)                           # [KS,2KP]
-        gm = jax.lax.dot_general(
-            c_mid, jnp.concatenate([m_cum, mf], axis=1),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
         cand_g = jax.lax.dot_general(
-            cmask, cand, (((0,), (0,)), ((), ())), precision=_HIGHEST,
+            c_sel, cand, (((0,), (0,)), ((), ())), precision=_HIGHEST,
             preferred_element_type=f32)                           # [KS,KO]
-        rc_sel = gt[:, :kp] + gm[:, :kp]         # within-range cumsum
-        mm_sel = gt[:, kp:] + gm[:, kp:]         # is a member
+        rc_sel = gs[:, :kp]                      # within-range cumsum
+        mm_sel = gs[:, kp:]                      # is a member
         # oh3[s, o] = 1 iff slot s's candidate came from old beam o: the
         # (rank+1)-th MEMBER of its range (the cumsum also matches the
         # run of non-members after a member — mm_sel pins the member);
@@ -495,7 +526,7 @@ def _reconstruct(bp: jnp.ndarray, best: jnp.ndarray, plen_best: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=(
     "beam_width", "max_len", "blank", "lm_order", "lm_alpha", "lm_beta",
-    "prune_logp"))
+    "prune_logp", "return_beams"))
 def beam_search_pallas(log_probs: jnp.ndarray,
                        frame_lengths: jnp.ndarray,
                        beam_width: int,
@@ -505,7 +536,8 @@ def beam_search_pallas(log_probs: jnp.ndarray,
                        lm_order: int = 0,
                        lm_alpha: float = 1.0,
                        lm_beta: float = 0.0,
-                       prune_logp: Optional[float] = None):
+                       prune_logp: Optional[float] = None,
+                       return_beams: bool = False):
     """Batched exact prefix beam search, fully fused.
 
     Same contract as :func:`tpu_ctc.decode.beam.prefix_beam_search`
@@ -513,15 +545,28 @@ def beam_search_pallas(log_probs: jnp.ndarray,
     kernel program per 128//K-utterance lane-group instead of T compiled
     frames per utterance.
     """
-    b, t_total, a = log_probs.shape
+    b, t_total, a_in = log_probs.shape
     k = beam_width
-    if not supported(k, a, lm_order):
+    if not supported(k, a_in, lm_order):
         raise ValueError("beam_search_pallas: unsupported configuration")
     pack = pack_factor(k)
     kq = _LANE // pack
     b_pad = -(-b // pack) * pack                  # pad batch to pack size
     lp = log_probs.astype(jnp.float32)
     lens = frame_lengths.astype(jnp.int32)
+    # Sublane-align the vocab axis: Mosaic cannot concat/offset [A, lane]
+    # slices when A % 8 != 0 (fails to compile at the default alphabet
+    # A=29 otherwise).  Padded characters get NEG_INF emissions, so they
+    # are dead candidates; blank/LM indexing is unaffected (blank < a_in,
+    # LM tables are padded to the same stride below).
+    a = -(-a_in // 8) * 8
+    if a != a_in:
+        lp = jnp.pad(lp, ((0, 0), (0, 0), (0, a - a_in)),
+                     constant_values=NEG_INF)
+        if lm_table is not None and lm_order > 0:
+            tab = lm_table.astype(jnp.float32).reshape((a_in,) * lm_order)
+            lm_table = jnp.pad(
+                tab, [(0, a - a_in)] * lm_order)  # zeros: rows never hit
     if b_pad != b:
         lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
         lens = jnp.pad(lens, (0, b_pad - b))      # dummies: 0 frames
@@ -583,4 +628,6 @@ def beam_search_pallas(log_probs: jnp.ndarray,
     best_score = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
     plen_best = jnp.take_along_axis(plen, best[:, None], axis=1)[:, 0]
     hyps, lens_out = _reconstruct(bp, best, plen_best, max_len)
+    if return_beams:
+        return hyps, lens_out, best_score, score[:, :k], plen[:, :k]
     return hyps, lens_out, best_score

@@ -43,7 +43,7 @@ the same code path is CI-testable on the virtual CPU mesh.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,14 +69,20 @@ def _plan(b_pad: int, s: int):
     return bb, max(8, min(64, tc // 8 * 8))
 
 
-def _pack_plan(s0: int) -> Tuple[int, int]:
+def _pack_plan(s0: int, b: int) -> Tuple[int, int]:
     """(q, s_sub): utterances per 128-lane block and each one's lane
     width.  When 2L+1 << 128 the lattice wastes most of the VPU lane
-    dim (SURVEY §7.3-1: "pack multiple utterances per lane block");
-    packing q = 128/s_sub utterances per row recovers it — 2x at the
-    TIMIT-shaped point (S0=41), 4x for very short labels."""
+    dim (SURVEY §7.3-1: "pack multiple utterances per lane block").
+
+    Packing only pays when it reduces the number of sequential batch
+    grid blocks: the per-step recursion is latency-bound at small row
+    counts, so halving rows below one 128-row block buys nothing while
+    the packing transpose costs real time (measured at B=32/T=400/L=20:
+    packed fwd 3.99 ms vs 3.66 unpacked — VERDICT r3 #5).  So pack only
+    while the packed batch still fills at least one full 128-row block
+    (b/q >= 128); see bench_ctc --force-q for the measured table."""
     for s_sub in (16, 32, 64):
-        if s0 <= s_sub:
+        if s0 <= s_sub and b // (128 // s_sub) >= 128:
             return 128 // s_sub, s_sub
     return 1, _round_up(max(s0, 128), 128)
 
@@ -293,14 +299,26 @@ def ctc_loss_from_log_probs(log_probs: jnp.ndarray,
                             labels: jnp.ndarray,
                             logit_lengths: jnp.ndarray,
                             label_lengths: jnp.ndarray,
-                            blank: int = 0) -> jnp.ndarray:
+                            blank: int = 0,
+                            force_q: Optional[int] = None) -> jnp.ndarray:
     """Per-utterance CTC NLL [B] — Pallas DP, same contract as
-    :func:`tpu_ctc.losses.ctc_ref.ctc_loss_from_log_probs`."""
+    :func:`tpu_ctc.losses.ctc_ref.ctc_loss_from_log_probs`.
+
+    ``force_q`` overrides the lane-packing plan (benchmarking only):
+    1 disables packing, q > 1 forces q utterances per 128-lane row.
+    """
     b, t, a = log_probs.shape
     labels = labels.astype(jnp.int32)
     ext, allow_skip = extend_labels(labels, blank)            # [B, S0]
     s0 = ext.shape[1]
-    q, s_sub = _pack_plan(s0)        # q utts per 128-lane row (SURVEY §7.3-1)
+    q, s_sub = _pack_plan(s0, b)     # q utts per 128-lane row (SURVEY §7.3-1)
+    if force_q is not None:
+        if force_q == 1:
+            q, s_sub = 1, _round_up(max(s0, 128), 128)
+        else:
+            q, s_sub = force_q, 128 // force_q
+            if s0 > s_sub:
+                raise ValueError(f"force_q={force_q} needs S0 <= {s_sub}")
     s = q * s_sub
     b_q = _round_up(b, q) // q       # lane-packed batch rows
     bb, tc = _plan(_round_up(b_q, 8), s)
@@ -310,23 +328,46 @@ def ctc_loss_from_log_probs(log_probs: jnp.ndarray,
     lengths = logit_lengths.astype(jnp.int32)
     lab_len = label_lengths.astype(jnp.int32)
 
+    # Pack q utterances per 128-lane row.  Padded utts get length 0
+    # (never active); padded lanes get NEG_INF state masks (dead).
+    b_grp = b_q * q                  # batch rounded up to the pack factor
+
+    def pack_bs(x, fill):            # [B, w <= s_sub] -> [b_pad, q*s_sub]
+        w = x.shape[1]
+        x = jnp.pad(x, ((0, b_grp - b), (0, s_sub - w)),
+                    constant_values=fill)
+        x = x.reshape(b_q, q * s_sub)
+        return jnp.pad(x, ((0, b_pad - b_q), (0, 0)), constant_values=fill)
+
     # Emission lattice + validity folded in (invalid states stay dead).
     # The gather emit[b,t,s] = log_probs[b,t,ext[b,s]] is expressed as a
     # one-hot einsum: its transpose (the gradient scatter gamma -> vocab)
     # then lowers to an MXU matmul instead of a serialized scatter-add
     # (which dominated the backward pass: 22 ms -> ~6 ms at T=1600,L=120).
+    # The einsum emits DIRECTLY in the packed [b_q, T, q*s_sub] layout
+    # ("rjta,rjsa->rtjs" batched over (row, packed-utt); the trailing
+    # (j, s) merge is a free reshape) — the r3 version packed with a
+    # [B,T,S] transpose shuffle afterwards, which was the measured
+    # packing overhead (VERDICT r3 #5).
     onehot = (ext[:, :, None] == jnp.arange(a)[None, None, :])  # [B, S0, A]
     # Finitize first: -inf * 0.0 in the einsum would turn masked-vocab
     # entries into NaN and poison every lattice state of that row.  The
     # NEG_INF sentinel is already "dead" to the kernel's log-sum-exps.
     finite_lp = jnp.maximum(log_probs.astype(jnp.float32), NEG_INF)
-    emit = jnp.einsum("bta,bsa->bts", finite_lp,
-                      onehot.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)     # [B, T, S0]
-    s_idx = jnp.arange(s0)[None, :]
-    valid = s_idx < (2 * lab_len[:, None] + 1)
-    emit = emit + jnp.where(valid, 0.0, NEG_INF)[:, None, :]
+    oh_p = jnp.pad(onehot, ((0, b_grp - b), (0, s_sub - s0), (0, 0)))
+    lp_p = jnp.pad(finite_lp, ((0, b_grp - b), (0, t_pad - t), (0, 0)))
+    emit = jnp.einsum(
+        "rjta,rjsa->rtjs",
+        lp_p.reshape(b_q, q, t_pad, a),
+        oh_p.reshape(b_q, q, s_sub, a).astype(jnp.float32),
+        preferred_element_type=jnp.float32).reshape(b_q, t_pad, s)
+    emit = jnp.pad(emit, ((0, b_pad - b_q), (0, 0), (0, 0)))
+    sv_idx = jnp.arange(s_sub)[None, :]
+    valid = sv_idx < (2 * lab_len[:, None] + 1)               # [B, s_sub]
+    emit = emit + pack_bs(jnp.where(valid, 0.0, NEG_INF),
+                          NEG_INF)[:, None, :]
 
+    s_idx = jnp.arange(s0)[None, :]
     skip = allow_skip.astype(jnp.float32)                     # [B, S0]
     # beta's s -> s+2 jump permission: allow_skip evaluated at s+2.
     skip2 = jnp.pad(skip[:, 2:], ((0, 0), (0, 2)))
@@ -336,24 +377,6 @@ def ctc_loss_from_log_probs(log_probs: jnp.ndarray,
     final = jnp.where((s_idx == last)
                       | ((s_idx == last - 1) & (lab_len[:, None] > 0)),
                       0.0, NEG_INF)
-
-    # Pack q utterances per 128-lane row, then pad to kernel tiles.
-    # Padded utts get length 0 (never active); padded lanes get NEG_INF
-    # emissions (dead states); padded frames freeze alpha.
-    b_grp = b_q * q                  # batch rounded up to the pack factor
-
-    def pack_bs(x, fill):            # [B, S0] -> [b_pad, q*s_sub]
-        x = jnp.pad(x, ((0, b_grp - b), (0, s_sub - s0)),
-                    constant_values=fill)
-        x = x.reshape(b_q, q * s_sub)
-        return jnp.pad(x, ((0, b_pad - b_q), (0, 0)), constant_values=fill)
-
-    emit = jnp.pad(emit, ((0, b_grp - b), (0, t_pad - t), (0, s_sub - s0)),
-                   constant_values=NEG_INF)
-    emit = (emit.reshape(b_q, q, t_pad, s_sub).transpose(0, 2, 1, 3)
-            .reshape(b_q, t_pad, s))
-    emit = jnp.pad(emit, ((0, b_pad - b_q), (0, 0), (0, 0)),
-                   constant_values=NEG_INF)
     # float32 so the custom-VJP cotangent is an ordinary zero array
     # (integer primals would need float0 cotangents); per-LANE lengths so
     # packed utts freeze independently.
