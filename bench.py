@@ -91,7 +91,7 @@ def bench_tpu_train(hidden=1024, num_bi=3, batch=32, t_frames=400,
     return thr
 
 
-def bench_tpu_decode(batch=32, t_frames=400, vocab=29, beam=64, iters=5):
+def bench_tpu_decode(batch=32, t_frames=400, vocab=29, beam=64, iters=10):
     """Beam-decode throughput (audio-s/s/chip) of the fused Pallas search
     vs the XLA scan search, on device-resident posteriors (SURVEY C9;
     VERDICT r2 item 1).  Returns (pallas_thr, xla_thr)."""

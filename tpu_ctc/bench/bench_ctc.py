@@ -47,7 +47,11 @@ def timeit(fn, *args, iters=10, warmup=2):
     return max(time.time() - t0 - sync_cost, 1e-9) / iters
 
 
-def run(batch=32, frames=1600, labels=120, vocab=29, iters=10):
+def run(batch=32, frames=1600, labels=120, vocab=29, iters=10,
+        force_q=None):
+    """force_q: override the lane-packing plan (1 = unpacked, q > 1 =
+    pack q utts per 128-lane row) for packed-vs-unpacked comparisons
+    (VERDICT r3 #5)."""
     rng = np.random.RandomState(0)
     logits = jnp.asarray(rng.randn(batch, frames, vocab).astype(np.float32))
     labs = jnp.asarray(rng.randint(1, vocab, (batch, labels)).astype(np.int32))
@@ -56,12 +60,16 @@ def run(batch=32, frames=1600, labels=120, vocab=29, iters=10):
 
     cells = batch * frames * (2 * labels + 1)
 
+    def pal_loss(x):
+        lp = jax.nn.log_softmax(x.astype(jnp.float32), -1)
+        return ctc_pallas.ctc_loss_from_log_probs(lp, labs, tl, ll,
+                                                  force_q=force_q)
+
     fwd_ref = jax.jit(lambda x: ctc_ref.ctc_loss(x, labs, tl, ll))
-    fwd_pal = jax.jit(lambda x: ctc_pallas.ctc_loss(x, labs, tl, ll))
+    fwd_pal = jax.jit(pal_loss)
     grad_ref = jax.jit(jax.grad(lambda x: jnp.sum(
         ctc_ref.ctc_loss(x, labs, tl, ll))))
-    grad_pal = jax.jit(jax.grad(lambda x: jnp.sum(
-        ctc_pallas.ctc_loss(x, labs, tl, ll))))
+    grad_pal = jax.jit(jax.grad(lambda x: jnp.sum(pal_loss(x))))
 
     # correctness spot-check before timing
     np.testing.assert_allclose(np.asarray(fwd_pal(logits)),
@@ -92,9 +100,12 @@ def main():
     p.add_argument("--labels", type=int, default=120)
     p.add_argument("--vocab", type=int, default=29)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--force-q", type=int, default=None,
+                   help="override lane packing: 1 = unpacked, q > 1 = "
+                        "pack q utts per 128-lane row")
     args = p.parse_args()
     results, cells = run(args.batch, args.frames, args.labels, args.vocab,
-                         args.iters)
+                         args.iters, force_q=args.force_q)
     import json
     print(json.dumps({
         "metric": "ctc_grad_cells_per_s",

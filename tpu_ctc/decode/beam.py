@@ -390,7 +390,7 @@ def make_beam_decoder(cfg, lm: Optional[NGramCharLM] = None,
     Routes through the fused Pallas kernel
     (:func:`tpu_ctc.ops.beam_pallas.beam_search_pallas`) when the config
     allows it and the kernel supports the configuration — one kernel
-    program per utterance instead of T compiled frames (~6x on v5e at
+    program per 16-group block instead of T compiled frames (~9x on v5e at
     K=64).  Falls back to the XLA scan decoder otherwise (neural LM,
     char_topk, K>128, vocab>64).
     """

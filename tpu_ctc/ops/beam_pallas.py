@@ -5,22 +5,27 @@ reference ran as a Cython CPU loop.  The XLA scan implementation in
 :mod:`tpu_ctc.decode.beam` is correct but frame-launch-bound: each frame
 compiles to ~12 small fusions whose [*, K] / [*, A] minor dims pad to 128
 lanes, costing ~17 us/utt/frame at K=128 regardless of pruning.  This
-kernel runs the ENTIRE search in one program per lane-group of
-utterances: all beam state lives in VMEM across every frame, each frame
-is pure VPU/MXU work, and the only HBM traffic is streaming the [T, A]
-posterior blocks in and a [T, K] backpointer block out.
+kernel runs the ENTIRE search in one program per block of G
+lane-groups: all beam state lives in VMEM across every frame, each frame
+is pure VPU/MXU work, and the only HBM traffic is streaming the
+pre-spread posterior blocks in and a [T, K] backpointer block out.
 
 Design constraints of Mosaic (no sort, no dynamic gather/scatter) shape
 the algorithm:
 
-  * **lane packing**: at beam width K <= 64, a single utterance uses only
-    K of the 128 VPU lanes, and the whole per-frame update is
-    latency-bound small-vector work.  So 128//K utterances are packed
+  * **two-level batching**: at beam width K <= 64, a single utterance
+    uses only K of the 128 VPU lanes, so 128//K utterances are packed
     side by side in the lane dimension (their beams in disjoint
     lane-groups) and advance in the SAME vector ops; all cross-beam
     matrices (duplicate match, rank cumsums, slot one-hots) are
     block-diagonal, and per-utterance count/total reductions are one
-    matmul against the block-structured group-sum matrix G.
+    matmul against the block-structured group-sum matrix G.  And
+    because the per-frame update is ~60 small ops whose ISSUE LATENCY
+    dominates at [A, 128] shapes, up to 16 lane-groups are additionally
+    stacked in the SUBLANE dimension and advance in the same ops:
+    per-group matmuls use Mosaic's batched dot_general, shared-constant
+    matmuls flatten the group dim into the M dim (2.4x over the
+    r3 one-group-per-program layout).
   * top-K selection = **per-lane threshold refinement** (8-ary interval
     search; the per-round counts of all packed utterances come from one
     [7,128] x G matmul) + **rank compaction by triangular matmuls**
@@ -141,21 +146,33 @@ def pack_factor(beam_width: int) -> int:
 
 def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
                  pb_s, pnb_s, plen_s, last_s, last2_s, h1_s, h2_s, *,
-                 k: int, a: int, blank: int, t_total: int, max_len: int,
-                 lm_order: int, lm_alpha: float, lm_beta: float,
-                 prune_logp: Optional[float], pack: int):
-    """One lane-group's full search (``pack`` utterances side by side).
+                 g: int, k: int, a: int, blank: int, t_total: int,
+                 max_len: int, lm_order: int, lm_alpha: float,
+                 lm_beta: float, prune_logp: Optional[float], pack: int):
+    """G lane-groups' full searches in ONE program (``pack`` utterances
+    side by side per group, G groups stacked in the sublane dim).
 
-    Refs: lp [T, P, A] f32 (frame t of all packed utts is ONE dynamic
-    sublane load), len [1, LANE] f32 (per-lane frame counts), lm
-    [A^(o-1), A] f32 (tableT, zero-size dummy when no LM), bp out
-    [T, LANE] i32 (packed within-utt parent | (char+1) << 8), fin out
-    [8, LANE] f32 (rows 0..2: pb, pnb, plen).  Scratch: per-beam state
-    rows [1, LANE] (f32) and hashes (i32).  Lane l holds slot l % KQ of
-    utterance l // KQ, KQ = LANE // pack; slots >= k stay dead.
+    Refs: lp [G, T, A, P] f32 (frame t of a group's packed utts is one
+    [A, P] minor-dim slice — lane-broadcast to the packed grid, no
+    relayout), len [G, LANE] f32 (per-lane frame counts), lm
+    [A, A^(o-1)] f32 (tableT, zero-size dummy when no LM), bp out
+    [G, T, LANE] i32 (packed within-utt parent | (char+1) << 8), fin out
+    [G, 8, LANE] f32 (rows 0..2: pb, pnb, plen).  Scratch: per-beam
+    state [G, LANE] (f32 / i32 hashes).  Lane l of group q holds slot
+    l % KQ of utterance q*pack + l // KQ, KQ = LANE // pack; slots >= k
+    stay dead.
+
+    Batching G groups per program is what makes the kernel fast: each
+    frame is ~60 small VPU/MXU ops whose issue latency dominates at
+    [A, 128] shapes, so the r3 one-group-per-program layout paid that
+    latency groups x T times; stacking G groups multiplies every op's
+    useful width by G at the same issue count (per-group matmuls ride
+    Mosaic's batched dot_general; shared-constant matmuls flatten the
+    group dim into the M dim).
     """
     kp = _LANE
     kq = kp // pack
+    ga = g * a
     f32 = jnp.float32
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)        # [1,KP]
@@ -163,16 +180,32 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
     utt_of = lane // kq
     slot_f = slot_in.astype(f32)
     live_k = slot_in < k
-    a_iota = jax.lax.broadcasted_iota(jnp.int32, (a, 1), 0)       # [A,1]
+    # char id of each [G*A, KP] grid row
+    arow = jax.lax.broadcasted_iota(jnp.int32, (ga, 1), 0) % a    # [GA,1]
+
+    def rep(x):
+        """[G, KP] per-lane state -> [G*A, KP] char grid (row-repeat)."""
+        return jnp.broadcast_to(x[:, None, :], (g, a, kp)).reshape(ga, kp)
+
+    def red_sum(x):
+        """[G*A, KP] -> [G, KP] sum over the char rows."""
+        return jnp.sum(x.reshape(g, a, kp), axis=1)
 
     # --- init: slot 0 of each utt = empty prefix, others dead ----------
-    pb_s[:, :] = jnp.where(slot_in == 0, 0.0, NEG_INF)
-    pnb_s[:, :] = jnp.full((1, kp), NEG_INF)
-    plen_s[:, :] = jnp.zeros((1, kp), f32)
-    last_s[:, :] = jnp.zeros((1, kp), f32)
-    last2_s[:, :] = jnp.zeros((1, kp), f32)
-    h1_s[:, :] = jnp.where(slot_in == 0, _H1_EMPTY, lane + 1)
-    h2_s[:, :] = jnp.where(slot_in == 0, _H2_EMPTY, lane + 1)
+    # (first T-chunk only: state scratch persists across the sequential
+    # time-chunk grid dimension)
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        pb_s[:, :] = jnp.broadcast_to(
+            jnp.where(slot_in == 0, 0.0, NEG_INF), (g, kp))
+        pnb_s[:, :] = jnp.full((g, kp), NEG_INF)
+        plen_s[:, :] = jnp.zeros((g, kp), f32)
+        last_s[:, :] = jnp.zeros((g, kp), f32)
+        last2_s[:, :] = jnp.zeros((g, kp), f32)
+        h1_s[:, :] = jnp.broadcast_to(
+            jnp.where(slot_in == 0, _H1_EMPTY, lane + 1), (g, kp))
+        h2_s[:, :] = jnp.broadcast_to(
+            jnp.where(slot_in == 0, _H2_EMPTY, lane + 1), (g, kp))
 
     # --- block-structured lane constants (all [KP,KP] 0/1 f32) ---------
     li = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0)
@@ -183,173 +216,197 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
     gsum = blk                               # v @ gsum = per-group totals
     # row_cum @ m_last broadcasts each group's LAST column to the group
     m_last = (same_g & (li % kq == kq - 1)).astype(f32)
-    ai = jax.lax.broadcasted_iota(jnp.int32, (a, a), 0)
-    aj = jax.lax.broadcasted_iota(jnp.int32, (a, a), 1)
-    tri_a_strict = (ai < aj).astype(f32)                          # [A,A]
+    # strict upper-tri over char rows, block-diag over the G groups:
+    # left-multiplying [GA, M] accumulates per-group row offsets
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ga, ga), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (ga, ga), 1)
+    tri_ga_strict = (((gi // a) == (gj // a))
+                     & (gi % a < gj % a)).astype(f32)             # [GA,GA]
 
-    len_vec = len_ref[0:1, :]                                     # [1,KP]
+    len_vec = len_ref[:, :]                                       # [G,KP]
     len_max = jnp.max(len_vec)
 
-    def frame(t):
-        # Frame t of all packed utts: one dynamic SUBLANE load (lane
-        # slices would need 128-alignment; sublane ones don't), then
-        # per-utt [A,1] columns spread to the packed [A,KP] grid.
-        lp_pa = lp_ref[pl.ds(t, 1), :, :].reshape(pack, a)        # [P,A]
-        lp_g = jnp.zeros((a, kp), f32)
-        for j in range(pack):
-            col = lp_pa[j:j + 1, :].reshape(a, 1)                 # [A,1]
-            lp_g = jnp.where(utt_of == j, col, lp_g)              # [A,KP]
+    ti = pl.program_id(1)
+    nt = pl.num_programs(1)
+    tc = lp_ref.shape[1]
 
-        pb, pnb = pb_s[:, :], pnb_s[:, :]                         # [1,KP]
+    # LM table broadcast to the group dim once (shared across frames);
+    # zero-size dummy when no LM.
+    rows = lm_ref.shape[1]
+    lm_b = jnp.broadcast_to(lm_ref[:, :][None], (g, a, rows))
+
+    def bdot(x, y, dims, precision=None):
+        return jax.lax.dot_general(
+            x, y, (dims, ((0,), (0,))), precision=precision,
+            preferred_element_type=f32)
+
+    def frame(i):
+        t = ti * tc + i
+        # Frame t of all groups: one dynamic second-dim slice of the
+        # PRE-SPREAD [G, Tc, A, KP] block (the wrapper lane-repeats each
+        # packed utterance's [T, A] posteriors to its kq lanes, so the
+        # kernel does zero per-frame spreading/relayout work).
+        lp_g = lp_ref[:, pl.ds(i, 1), :, :].reshape(ga, kp)       # [GA,KP]
+
+        pb, pnb = pb_s[:, :], pnb_s[:, :]                         # [G,KP]
         last_f, last2_f = last_s[:, :], last2_s[:, :]
         plen = plen_s[:, :]
         h1, h2 = h1_s[:, :], h2_s[:, :]
         last_i = last_f.astype(jnp.int32)
         total = _lse2(pb, pnb)
 
-        onehot_last = (a_iota == last_i).astype(f32)              # [A,KP]
-        lp_at = jnp.sum(lp_g * onehot_last, axis=0, keepdims=True)
-        lp_blank = lp_g[blank:blank + 1, :]                       # [1,KP]
+        onehot_last = (arow == rep(last_f).astype(jnp.int32)
+                       ).astype(f32)                              # [GA,KP]
+        lp_at = red_sum(lp_g * onehot_last)                       # [G,KP]
+        lp_blank = lp_g.reshape(g, a, kp)[:, blank, :]            # [G,KP]
 
-        # ---- LM rows [A, KP]: tableT [A, ctx] @ ctx_onehot [ctx, KP] --
+        # ---- LM rows [GA, KP]: batched tableT @ ctx_onehot ------------
         lm_row = None
+        oh3l = onehot_last.reshape(g, a, kp)
         if lm_order == 1:
-            lm_row = jnp.broadcast_to(lm_ref[:, 0:1], (a, kp))
+            lm_row = jnp.broadcast_to(
+                lm_ref[:, 0:1][None], (g, a, kp)).reshape(ga, kp)
         elif lm_order == 2:
-            lm_row = jnp.dot(lm_ref[:, :], onehot_last, precision=_HIGHEST,
-                             preferred_element_type=f32)
+            lm_row = bdot(lm_b, oh3l, ((2,), (1,)),
+                          precision=_HIGHEST).reshape(ga, kp)
         elif lm_order == 3:
-            ctx = last2_f.astype(jnp.int32) * a + last_i          # [1,KP]
-            c_iota = jax.lax.broadcasted_iota(jnp.int32, (a * a, 1), 0)
-            ctx_oh = (c_iota == ctx).astype(f32)                  # [A^2,KP]
-            lm_row = jnp.dot(lm_ref[:, :], ctx_oh, precision=_HIGHEST,
-                             preferred_element_type=f32)          # [A,KP]
+            ctx = last2_f.astype(jnp.int32) * a + last_i          # [G,KP]
+            c_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, a * a, 1), 1)
+            ctx_oh = (c_iota == ctx[:, None, :]).astype(f32)      # [G,A2,KP]
+            lm_row = bdot(lm_b, ctx_oh, ((2,), (1,)),
+                          precision=_HIGHEST).reshape(ga, kp)
         if lm_row is not None:
             lm_row = lm_alpha * lm_row + lm_beta
 
         # ---- mate detection (sort-free merge, see decode.beam) -------
-        ph1 = (h1 - last_i) * _H1_INV                             # [1,KP]
+        ph1 = (h1 - last_i) * _H1_INV                             # [G,KP]
         ph2 = (h2 - last_i) * _H2_INV
         has_parent = (plen > 0) & (total > NEG_INF / 2)
-        # match[j, m]: beam j's parent prefix == beam m's prefix, same
-        # utterance only.  (Mosaic can't reshape i1 vectors across the
-        # minor dim, so masks land as f32 products, not bool &.)
-        eq = ((ph1.reshape(kp, 1) == h1.reshape(1, kp))
-              & (ph2.reshape(kp, 1) == h2.reshape(1, kp))
-              ).astype(f32)                                       # [KP,KP]
-        match = eq * has_parent.astype(f32).reshape(kp, 1) * blk
-        # mate-held values via ONE stacked exact one-hot matmul (<= one 1
-        # per row); M=3 instead of three M=1 launches on the MXU
-        mate_in = jnp.concatenate([pb, total, last_f], axis=0)    # [3,KP]
-        mate_out = jax.lax.dot_general(
-            mate_in, match, (((1,), (1,)), ((), ())), precision=_HIGHEST,
-            preferred_element_type=f32)                           # [3,KP]
-        mate_pb = mate_out[0:1, :]
-        mate_total = mate_out[1:2, :]
-        mate_last = mate_out[2:3, :]
-        has_mate = jnp.sum(match, axis=1).reshape(1, kp) > 0
+        # match[g, j, m]: beam j's parent prefix == beam m's prefix,
+        # same utterance only.
+        eq = ((ph1[:, :, None] == h1[:, None, :])
+              & (ph2[:, :, None] == h2[:, None, :])
+              ).astype(f32)                                       # [G,KP,KP]
+        match = eq * has_parent.astype(f32)[:, :, None] * blk[None]
+        # mate-held values via ONE stacked exact one-hot matmul (<= one
+        # 1 per row); M=3 instead of three M=1 launches on the MXU
+        mate_in = jnp.concatenate(
+            [pb[:, None, :], total[:, None, :], last_f[:, None, :]],
+            axis=1)                                               # [G,3,KP]
+        mate_out = bdot(mate_in, match, ((2,), (2,)),
+                        precision=_HIGHEST)                       # [G,3,KP]
+        mate_pb = mate_out[:, 0, :]
+        mate_total = mate_out[:, 1, :]
+        mate_last = mate_out[:, 2, :]
+        has_mate = jnp.sum(match, axis=2) > 0                     # [G,KP]
         base_mate = jnp.where(mate_last == last_f, mate_pb, mate_total)
         ext_from_mate = base_mate + lp_at
         if lm_row is not None:
             # LM(ctx of mate, char last_j) = sum_a onehot_last[a,j] *
             #   (lm_row @ match^T)[a, j]
-            lm_m = jax.lax.dot_general(
-                lm_row, match, (((1,), (1,)), ((), ())), precision=_HIGHEST,
-                preferred_element_type=f32)                       # [A,KPj]
-            ext_from_mate = ext_from_mate + jnp.sum(
-                onehot_last * lm_m, axis=0, keepdims=True)
+            lm_m = bdot(lm_row.reshape(g, a, kp), match, ((2,), (2,)),
+                        precision=_HIGHEST)                       # [G,A,KP]
+            ext_from_mate = ext_from_mate + red_sum(
+                onehot_last * lm_m.reshape(ga, kp))
         gate = has_mate
         if prune_logp is not None:
             gate = gate & (lp_at >= prune_logp)
         ext_from_mate = jnp.where(gate, ext_from_mate, NEG_INF)
 
-        # ---- candidate grid [A, KP]: blank row = stay ------------------
+        # ---- candidate grid [GA, KP]: blank rows = stay ----------------
         stay_pb = total + lp_blank
         stay_pnb = _lse2(jnp.where(plen > 0, pnb + lp_at, NEG_INF),
                          ext_from_mate)
-        is_last_g = (a_iota == last_i) & (plen > 0)               # [A,KP]
-        base = jnp.where(is_last_g, pb, total)
+        is_last_g = (onehot_last > 0) & (rep(plen) > 0)
+        base = jnp.where(is_last_g, rep(pb), rep(total))
         ext = base + lp_g
         if lm_row is not None:
             ext = ext + lm_row
         if prune_logp is not None:
             ext = jnp.where(lp_g < prune_logp, NEG_INF, ext)
-        ext = jnp.where(plen >= max_len, NEG_INF, ext)
+        ext = jnp.where(rep(plen) >= max_len, NEG_INF, ext)
         # extensions whose mass went to a mate's stay: excl[m, c] =
         # exists j: match[j, m] & last_j == c  ->  onehot_last @ match
-        excl = jnp.dot(onehot_last, match,
-                       preferred_element_type=f32)                # [A,KP]
-        ext = jnp.where(excl > 0, NEG_INF, ext)
-        is_blank_row = a_iota == blank
-        live_cols = jnp.broadcast_to(live_k, (a, kp))
+        excl = bdot(oh3l, match, ((2,), (1,)))                    # [G,A,KP]
+        ext = jnp.where(excl.reshape(ga, kp) > 0, NEG_INF, ext)
+        is_blank_row = arow == blank
+        live_cols = jnp.broadcast_to(live_k, (ga, kp))
         stay_merged = _lse2(stay_pb, stay_pnb)
-        cand = jnp.where(is_blank_row, stay_merged, ext)
-        cand = jnp.where(live_cols, cand, NEG_INF)                # [A,KP]
+        cand = jnp.where(is_blank_row, rep(stay_merged), ext)
+        cand = jnp.where(live_cols, cand, NEG_INF)                # [GA,KP]
 
         # ---- top-K: per-lane 8-ary threshold search on i32 keys --------
         # Brackets: when an utt has >= K live stay candidates, its K-th
         # best overall is >= its worst live stay (stays are K distinct
-        # candidates); the GLOBAL min live stay lower-bounds every such
-        # utt.  Utts with fewer live candidates fall back to the global
-        # finite minimum (nothing may be dropped when < K exist).
-        kcand = _ordered_key(cand)                                # [A,KP]
+        # candidates); the per-GROUP min live stay lower-bounds every
+        # such utt.  Utts with fewer live candidates fall back to the
+        # group finite minimum (nothing may be dropped when < K exist).
+        kcand = _ordered_key(cand)                                # [GA,KP]
+        kcand3 = kcand.reshape(g, a, kp)
         finite = cand > NEG_INF / 2
-        khi0 = jnp.max(kcand, keepdims=True).reshape(1, 1)
-        stay_krow = kcand[blank:blank + 1, :]                     # [1,KP]
-        stay_fin = finite[blank:blank + 1, :].astype(f32)
+        # (all reductions keep >= 2 dims: Mosaic's layout inference
+        # CHECK-fails on rank-1 vectors)
+        khi0 = jnp.max(jnp.max(kcand3, axis=2), axis=1,
+                       keepdims=True)                             # [G,1]
+        stay_krow = kcand3[:, blank, :]                           # [G,KP]
+        stay_fin = finite.reshape(g, a, kp)[:, blank, :].astype(f32)
         n_stay = jnp.dot(stay_fin, gsum,
-                         preferred_element_type=f32)              # [1,KP]
-        min_stay = jnp.min(jnp.where(stay_fin > 0, stay_krow, khi0),
-                           keepdims=True).reshape(1, 1)
-        min_fin = jnp.min(jnp.where(finite, kcand, khi0),
-                          keepdims=True).reshape(1, 1)
+                         preferred_element_type=f32)              # [G,KP]
+        khi0_b = jnp.broadcast_to(khi0, (g, kp))
+        min_stay = jnp.min(jnp.where(stay_fin > 0, stay_krow, khi0_b),
+                           axis=1, keepdims=True)                 # [G,1]
+        min_fin = jnp.min(jnp.min(
+            jnp.where(finite, kcand, rep(khi0_b)).reshape(g, a, kp),
+            axis=2), axis=1, keepdims=True)                       # [G,1]
         kf = jnp.float32(k)
-        lo = jnp.where(n_stay >= kf, min_stay, min_fin) - 1       # [1,KP]
-        hi = jnp.broadcast_to(khi0 + 1, (1, kp))
+        lo = jnp.where(n_stay >= kf, jnp.broadcast_to(min_stay, (g, kp)),
+                       jnp.broadcast_to(min_fin, (g, kp))) - 1    # [G,KP]
+        hi = khi0_b + 1
         n_edge = _BISECT_ARITY - 1
-        edge_iota = jnp.arange(1, _BISECT_ARITY,
-                               dtype=jnp.int32).reshape(n_edge, 1)
+        edge_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (n_edge, 1, 1), 0) + 1
         for _ in range(_BISECT_ITERS):               # static unroll
             # w ~ (hi - lo)/8 without overflow (hi - lo can exceed
             # int32 range); overshooting edges past hi is harmless —
             # any edge with count < K is a valid new hi.
             w = jnp.maximum(jax.lax.shift_right_arithmetic(hi, 3)
                             - jax.lax.shift_right_arithmetic(lo, 3), 1)
-            e7 = lo + w * edge_iota                               # [7,KP]
-            ge_sums = [
-                jnp.sum((kcand >= e7[j:j + 1, :]).astype(f32),
-                        axis=0, keepdims=True)                    # [1,KP]
-                for j in range(n_edge)]
-            # per-utt counts for ALL edges: one [7,KP] x G matmul
-            cnt = jnp.dot(jnp.concatenate(ge_sums, axis=0), gsum,
-                          preferred_element_type=f32)             # [7,KP]
+            e7 = lo[None] + w[None] * edge_iota                   # [7,G,KP]
+            ge = jnp.stack(
+                [jnp.sum((kcand3 >= e7[j][:, None, :]).astype(f32),
+                         axis=1)                                  # [G,KP]
+                 for j in range(n_edge)], axis=0)                 # [7,G,KP]
+            # per-utt counts for ALL edges/groups: one [7G,KP] matmul
+            cnt = jnp.dot(ge.reshape(n_edge * g, kp), gsum,
+                          preferred_element_type=f32
+                          ).reshape(n_edge, g, kp)
             ok = cnt >= kf
-            lo = jnp.max(jnp.where(ok, e7, lo), axis=0, keepdims=True)
-            hi = jnp.min(jnp.where(ok, hi, e7), axis=0, keepdims=True)
-        # ---- composite rank: tops first, then ties in index order ------
-        # rank2(c) = per-utt enumeration rank among the strictly-above
-        # set (key >= hi = score > boundary), or n_top + rank among the
-        # exact boundary ties (key == lo after convergence).  Selection
-        # "rank2 <= K" keeps every top and fills remaining slots with
-        # boundary ties in index order — and is PREFIX-CLOSED in rank2,
-        # so a survivor's slot is simply rank2 - 1: one ranking pass
-        # assigns slots, no second cumsum over the selected set.
-        tf = (kcand >= hi).astype(f32)
-        mf = ((kcand >= lo) & (kcand < hi) & finite).astype(f32)
+            lo = jnp.max(jnp.where(ok, e7, lo[None]), axis=0)
+            hi = jnp.min(jnp.where(ok, hi[None], e7), axis=0)
+        # tops = strictly above the boundary; mids = exact boundary ties
+        tf = (kcand >= rep(hi)).astype(f32)
+        mf = ((kcand >= rep(lo)) & (kcand < rep(hi)) & finite).astype(f32)
         # both cumsums + totals + row offsets in ONE stacked matmul each
-        cum2 = jnp.dot(jnp.concatenate([tf, mf], axis=0), tri_blk,
-                       preferred_element_type=f32)                # [2A,KP]
+        cum2 = jnp.dot(
+            jnp.concatenate([tf.reshape(g, a, kp), mf.reshape(g, a, kp)],
+                            axis=1).reshape(2 * ga, kp),
+            tri_blk, preferred_element_type=f32)                  # [2GA,KP]
         tot2 = jnp.dot(cum2, m_last, preferred_element_type=f32)
-        m_cum = cum2[a:, :]
-        t_tot, m_tot = tot2[:a, :], tot2[a:, :]
+        cum23 = cum2.reshape(g, 2 * a, kp)
+        tot23 = tot2.reshape(g, 2 * a, kp)
+        m_cum = cum23[:, a:, :].reshape(ga, kp)
+        t_tot = tot23[:, :a, :].reshape(ga, kp)
+        m_tot = tot23[:, a:, :].reshape(ga, kp)
         off2 = jax.lax.dot_general(
-            tri_a_strict,
+            tri_ga_strict,
             jnp.concatenate([t_tot, m_tot], axis=1),
             (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)                           # [A,2KP]
+            preferred_element_type=f32)                           # [GA,2KP]
         t_off, m_off = off2[:, :kp], off2[:, kp:]
-        # per-utt top count = last row's offset + total ([1,KP] slice)
-        n_top = t_off[a - 1:a, :] + t_tot[a - 1:a, :]
+        # per-utt top count = last row's offset + total ([G,KP] slice)
+        n_top = (t_off.reshape(g, a, kp)[:, a - 1, :]
+                 + t_tot.reshape(g, a, kp)[:, a - 1, :])          # [G,KP]
 
         # ---- selected mask in PURE ENUMERATION ORDER -------------------
         # Survivors = every top plus the first K - n_top boundary ties in
@@ -358,48 +415,46 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         # index-sorted top_k emits, so the two device paths keep
         # IDENTICAL beam layouts frame by frame (bit-exact parity).
         m_rank = m_off + m_cum                    # 1-indexed among mids
-        msel = mf * (m_rank <= kf - n_top).astype(f32)
-        sf = tf + msel                            # [A,KP] selected (0/1)
+        msel = mf * (m_rank <= rep(kf - n_top)).astype(f32)
+        sf = tf + msel                            # [GA,KP] selected
         cum_s = jnp.dot(sf, tri_blk, preferred_element_type=f32)
         tot_s = jnp.dot(cum_s, m_last, preferred_element_type=f32)
         off_s = jax.lax.dot_general(
-            tri_a_strict, tot_s, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)                           # [A,KP]
+            tri_ga_strict, tot_s, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                           # [GA,KP]
 
         # ---- slot compaction WITHOUT any one-hot cube ------------------
         # In enumeration order each row's survivors occupy ONE contiguous
         # within-utt slot range [off_s[a], off_s[a] + tot_s[a]): the
-        # slot->row map C is a cheap 2D range mask and every gather below
-        # is a [KP,KP] 2D op or an MXU matmul — nothing 3D.
+        # slot->row map C is a cheap range mask and every gather below
+        # is elementwise or a (batched) MXU matmul.
         c_sel = ((slot_f >= off_s) & (slot_f < off_s + tot_s)
-                 ).astype(f32)                                    # [A,KS]
-        n_csum = jnp.sum(c_sel, axis=0, keepdims=True)
+                 ).astype(f32)                                    # [GA,KP]
+        c_sel3 = c_sel.reshape(g, a, kp)
+        n_csum = red_sum(c_sel)                                   # [G,KP]
         live_slot = (n_csum > 0) & live_k
-        char_slot = jnp.sum(c_sel * a_iota.astype(f32),
-                            axis=0, keepdims=True)                # [1,KS]
+        char_slot = red_sum(c_sel * arow.astype(f32))             # [G,KP]
         # rank of slot s within its row's range (offsets are per-lane)
-        base_s = jnp.sum(c_sel * off_s, axis=0, keepdims=True)
-        rank_s = (slot_f - base_s).reshape(kp, 1)                 # [KS,1]
+        base_s = red_sum(c_sel * off_s)
+        rank_s = (slot_f - base_s)[:, :, None]                    # [G,KP,1]
         # gather each slot's row data: one stacked small-int matmul
         # (cumsum for the rank match + membership mask, both exact at
         # DEFAULT) and one HIGHEST matmul for the f32 scores
-        gs = jax.lax.dot_general(
-            c_sel, jnp.concatenate([cum_s, sf], axis=1),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)                           # [KS,2KP]
-        cand_g = jax.lax.dot_general(
-            c_sel, cand, (((0,), (0,)), ((), ())), precision=_HIGHEST,
-            preferred_element_type=f32)                           # [KS,KO]
-        rc_sel = gs[:, :kp]                      # within-range cumsum
-        mm_sel = gs[:, kp:]                      # is a member
-        # oh3[s, o] = 1 iff slot s's candidate came from old beam o: the
-        # (rank+1)-th MEMBER of its range (the cumsum also matches the
-        # run of non-members after a member — mm_sel pins the member);
-        # blk keeps it block-diagonal per utterance
-        oh3 = mm_sel * (rc_sel - 1.0 == rank_s).astype(f32) * blk
+        gs = bdot(c_sel3,
+                  jnp.concatenate([cum_s.reshape(g, a, kp),
+                                   sf.reshape(g, a, kp)], axis=2),
+                  ((1,), (1,)))                                   # [G,KP,2KP]
+        cand_g = bdot(c_sel3, cand.reshape(g, a, kp), ((1,), (1,)),
+                      precision=_HIGHEST)                         # [G,KP,KP]
+        rc_sel = gs[:, :, :kp]                   # within-range cumsum
+        mm_sel = gs[:, :, kp:]                   # is a member
+        # oh3[g, s, o] = 1 iff slot s's candidate came from old beam o:
+        # the (rank+1)-th MEMBER of its range (the cumsum also matches
+        # the run of non-members after a member — mm_sel pins the
+        # member); blk keeps it block-diagonal per utterance
+        oh3 = mm_sel * (rc_sel - 1.0 == rank_s).astype(f32) * blk[None]
 
-        cand_val = jnp.sum(oh3 * cand_g, axis=1,
-                           keepdims=True).reshape(1, kp)          # [1,KS]
+        cand_val = jnp.sum(oh3 * cand_g, axis=2)                  # [G,KP]
 
         # ---- stacked parent-payload picks: pick(v)[s] = v[parent(s)] --
         # TWO matmuls instead of ten M=1 launches.  Scores + plen need
@@ -407,33 +462,34 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         # everything else is re-expressed in <= 8-bit pieces (hash bytes)
         # so the 1-pass DEFAULT f32 path (bf16 inputs, exact for ints
         # <= 256, f32 accumulation) is exact.
-        def bytes_of(h):                                          # 4x[1,KP]
-            return [(jax.lax.shift_right_logical(h, s) & 0xFF
-                     ).astype(f32) for s in (24, 16, 8, 0)]
+        def bytes_of(h):                                      # 4x[G,1,KP]
+            return [(jax.lax.shift_right_logical(h, sh) & 0xFF
+                     ).astype(f32)[:, None, :] for sh in (24, 16, 8, 0)]
 
-        hi_stack = jnp.concatenate([stay_pb, stay_pnb, plen], axis=0)
-        hi_out = jax.lax.dot_general(
-            hi_stack, oh3, (((1,), (1,)), ((), ())), precision=_HIGHEST,
-            preferred_element_type=f32)                           # [3,KS]
+        hi_stack = jnp.concatenate(
+            [stay_pb[:, None, :], stay_pnb[:, None, :],
+             plen[:, None, :]], axis=1)                           # [G,3,KP]
+        hi_out = bdot(hi_stack, oh3, ((2,), (2,)),
+                      precision=_HIGHEST)                         # [G,3,KP]
         lo_stack = jnp.concatenate(
-            [last_f, last2_f, slot_f] + bytes_of(h1) + bytes_of(h2), axis=0)
-        lo_out = jax.lax.dot_general(
-            lo_stack, oh3, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                           # [11,KS]
+            [last_f[:, None, :], last2_f[:, None, :],
+             jnp.broadcast_to(slot_f[None], (g, 1, kp))]
+            + bytes_of(h1) + bytes_of(h2), axis=1)                # [G,11,KP]
+        lo_out = bdot(lo_stack, oh3, ((2,), (2,)))                # [G,11,KP]
 
-        p_stay_pb, p_stay_pnb = hi_out[0:1, :], hi_out[1:2, :]
-        p_plen = hi_out[2:3, :]
-        p_last, p_last2 = lo_out[0:1, :], lo_out[1:2, :]
-        parent_slot = lo_out[2:3, :]                              # [1,KS]
+        p_stay_pb, p_stay_pnb = hi_out[:, 0, :], hi_out[:, 1, :]
+        p_plen = hi_out[:, 2, :]
+        p_last, p_last2 = lo_out[:, 0, :], lo_out[:, 1, :]
+        parent_slot = lo_out[:, 2, :]                             # [G,KP]
 
         def unbytes(rows):                                        # -> i32
-            b3, b2, b1, b0 = (rows[i:i + 1, :].astype(jnp.int32)
+            b3, b2, b1, b0 = (rows[:, i, :].astype(jnp.int32)
                               for i in range(4))
             return (jax.lax.shift_left(b3, 24) | jax.lax.shift_left(b2, 16)
                     | jax.lax.shift_left(b1, 8) | b0)
 
-        p_h1 = unbytes(lo_out[3:7, :])
-        p_h2 = unbytes(lo_out[7:11, :])
+        p_h1 = unbytes(lo_out[:, 3:7, :])
+        p_h2 = unbytes(lo_out[:, 7:11, :])
 
         sel_is_stay = char_slot == float(blank)
         # candidate masses: stay -> (stay_pb, merged stay_pnb);
@@ -455,12 +511,14 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         n_h2 = jnp.where(live_slot, n_h2, lane + 1)
 
         # ---- backpointers + per-lane state freeze ----------------------
-        # utterances in the group end at different frames: lanes of a
-        # finished utt freeze (identity backpointer, state kept)
-        active_l = t < len_vec                                    # [1,KP]
+        # utterances end at different frames: lanes of a finished utt
+        # freeze (identity backpointer, state kept)
+        active_l = t < len_vec                                    # [G,KP]
         packed = (parent_slot.astype(jnp.int32)
                   + jnp.where(extend, (ec_i + 1) * 256, 0))
-        bp_ref[pl.ds(t, 1), :] = jnp.where(active_l, packed, slot_in)
+        bp_ref[:, pl.ds(i, 1), :] = jnp.where(
+            active_l, packed, jnp.broadcast_to(slot_in, (g, kp))
+            )[:, None, :]
 
         pb_s[:, :] = jnp.where(active_l, n_pb, pb)
         pnb_s[:, :] = jnp.where(active_l, n_pnb, pnb)
@@ -470,25 +528,29 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         h1_s[:, :] = jnp.where(active_l, n_h1, h1)
         h2_s[:, :] = jnp.where(active_l, n_h2, h2)
 
-    def body(t, _):
-        active_any = t < len_max
+    def body(i, _):
+        active_any = ti * tc + i < len_max
 
         @pl.when(active_any)
         def _():
-            frame(t)
+            frame(i)
 
         @pl.when(jnp.logical_not(active_any))
         def _():
-            # whole group frozen: identity backpointers
-            bp_ref[pl.ds(t, 1), :] = slot_in
+            # whole block frozen: identity backpointers
+            bp_ref[:, pl.ds(i, 1), :] = jnp.broadcast_to(
+                slot_in, (g, kp))[:, None, :]
 
         return 0
 
-    jax.lax.fori_loop(0, t_total, body, 0)
-    fin = jnp.concatenate([
-        pb_s[:, :], pnb_s[:, :], plen_s[:, :],
-        jnp.zeros((5, _LANE), f32)], axis=0)
-    fin_ref[:, :] = fin
+    jax.lax.fori_loop(0, tc, body, 0)
+
+    @pl.when(ti == nt - 1)
+    def _():
+        fin_ref[:, :, :] = jnp.concatenate([
+            pb_s[:, :][:, None, :], pnb_s[:, :][:, None, :],
+            plen_s[:, :][:, None, :],
+            jnp.zeros((g, 5, _LANE), f32)], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -542,8 +604,8 @@ def beam_search_pallas(log_probs: jnp.ndarray,
 
     Same contract as :func:`tpu_ctc.decode.beam.prefix_beam_search`
     (returns hyps [B, max_len], lengths [B], scores [B]); same math, one
-    kernel program per 128//K-utterance lane-group instead of T compiled
-    frames per utterance.
+    kernel program per block of 16 sublane-batched 128//K-utterance
+    lane-groups instead of T compiled frames per utterance.
     """
     b, t_total, a_in = log_probs.shape
     k = beam_width
@@ -572,55 +634,79 @@ def beam_search_pallas(log_probs: jnp.ndarray,
         lens = jnp.pad(lens, (0, b_pad - b))      # dummies: 0 frames
     groups = b_pad // pack
 
-    lp_t = lp.reshape(groups, pack, t_total, a).transpose(0, 2, 1, 3)
+    # G groups per kernel program (sublane-batched; see _beam_kernel).
+    # Cap G so the per-program lp + bp blocks (double-buffered) stay
+    # well inside VMEM, then pad the group count to a multiple of G
+    # (dead groups: 0 frames, frozen immediately).
+    g_blk = groups
+    tc = min(64, t_total)
+    while g_blk > 1 and g_blk * (tc * a * _LANE * 4 + tc * _LANE * 4
+                                 ) * 2 > 48 * 1024 * 1024:
+        g_blk -= 1
+    g_blk = min(g_blk, 16)
+    n_blk = -(-groups // g_blk)
+    g_pad = n_blk * g_blk
+    t_pad = -(-t_total // tc) * tc
+    nt = t_pad // tc
+
+    # Pre-spread each packed utterance's [T, A] posteriors to its kq
+    # lanes: the kernel reads frames as ready-made [G*A, KP] grids with
+    # zero in-kernel relayout work (HBM cost: A*KP/(A*P) ~ kq x the raw
+    # posteriors, ~130 us of streaming at the bench shape — noise next
+    # to the per-frame op savings).
+    lp_t = (lp.reshape(groups, pack, t_total, a).transpose(0, 2, 3, 1)
+            .repeat(kq, axis=3))                       # [G, T, A, KP]
+    lp_t = jnp.pad(lp_t, ((0, g_pad - groups), (0, t_pad - t_total),
+                          (0, 0), (0, 0)))
     len_tile = jnp.repeat(lens.reshape(groups, pack), kq,
-                          axis=1)[:, None, :]                     # [G,1,KP]
+                          axis=1)                      # [G, KP]
+    len_tile = jnp.pad(len_tile, ((0, g_pad - groups), (0, 0)))
     if lm_table is None or lm_order == 0:
-        lm_in = jnp.zeros((1, a, 1), jnp.float32)
+        lm_in = jnp.zeros((a, 1), jnp.float32)
         rows = 1
     else:
         # tableT [A, ctx_rows]: lm_row = tableT @ ctx_onehot in-kernel
-        tab_t = lm_table.astype(jnp.float32).reshape(-1, a).T     # [A, ctx]
-        rows = tab_t.shape[1]
-        lm_in = tab_t[None]
+        lm_in = lm_table.astype(jnp.float32).reshape(-1, a).T     # [A, ctx]
+        rows = lm_in.shape[1]
 
     kernel = functools.partial(
-        _beam_kernel, k=k, a=a, blank=blank, t_total=t_total,
+        _beam_kernel, g=g_blk, k=k, a=a, blank=blank, t_total=t_pad,
         max_len=max_len, lm_order=lm_order if lm_table is not None else 0,
         lm_alpha=lm_alpha, lm_beta=lm_beta, prune_logp=prune_logp,
         pack=pack)
 
     bp, fin = pl.pallas_call(
         kernel,
-        grid=(groups,),
+        grid=(n_blk, nt),
         in_specs=[
-            pl.BlockSpec((None, t_total, pack, a), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((g_blk, tc, a, _LANE), lambda i, t: (i, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, _LANE), lambda i: (i, 0, 0),
+            pl.BlockSpec((g_blk, _LANE), lambda i, t: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, a, rows), lambda i: (0, 0, 0),
+            pl.BlockSpec((a, rows), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, t_total, _LANE), lambda i: (i, 0, 0),
+            pl.BlockSpec((g_blk, tc, _LANE), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 8, _LANE), lambda i: (i, 0, 0),
+            pl.BlockSpec((g_blk, 8, _LANE), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((groups, t_total, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct((groups, 8, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g_pad, t_pad, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((g_pad, 8, _LANE), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((1, _LANE), jnp.float32) for _ in range(5)]
-        + [pltpu.VMEM((1, _LANE), jnp.int32) for _ in range(2)],
+        scratch_shapes=[pltpu.VMEM((g_blk, _LANE), jnp.float32)
+                        for _ in range(5)]
+        + [pltpu.VMEM((g_blk, _LANE), jnp.int32) for _ in range(2)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(lp_t, len_tile, lm_in)
 
     # unpack lane-groups back to per-utterance [B, ...] tensors
-    bp = (bp.reshape(groups, t_total, pack, kq).transpose(0, 2, 1, 3)
-          .reshape(b_pad, t_total, kq)[:b])
-    fin = (fin.reshape(groups, 8, pack, kq).transpose(0, 2, 1, 3)
+    bp = (bp[:groups, :t_total].reshape(groups, t_total, pack, kq)
+          .transpose(0, 2, 1, 3).reshape(b_pad, t_total, kq)[:b])
+    fin = (fin[:groups].reshape(groups, 8, pack, kq).transpose(0, 2, 1, 3)
            .reshape(b_pad, 8, kq)[:b])
     pb, pnb, plen = fin[:, 0, :], fin[:, 1, :], fin[:, 2, :]      # [B,KQ]
     score = _lse2(pb, pnb)

@@ -74,15 +74,17 @@ def _pack_plan(s0: int, b: int) -> Tuple[int, int]:
     width.  When 2L+1 << 128 the lattice wastes most of the VPU lane
     dim (SURVEY §7.3-1: "pack multiple utterances per lane block").
 
-    Packing only pays when it reduces the number of sequential batch
-    grid blocks: the per-step recursion is latency-bound at small row
-    counts, so halving rows below one 128-row block buys nothing while
-    the packing transpose costs real time (measured at B=32/T=400/L=20:
-    packed fwd 3.99 ms vs 3.66 unpacked — VERDICT r3 #5).  So pack only
-    while the packed batch still fills at least one full 128-row block
-    (b/q >= 128); see bench_ctc --force-q for the measured table."""
+    Packing pays when the batch is large enough to be VPU-throughput
+    bound: at B=32 the rows fit a couple of sublane blocks either way
+    and the per-step recursion is latency-bound, so halving rows buys
+    nothing (measured on v5e, device time, T=400/L=20: B=32 fwd
+    0.07 ms both ways; B=128 packed 0.13 vs 0.21; B=256 0.28 vs 0.41 —
+    see docs/PERF.md and `bench_ctc --force-q` for the table).  The
+    emission einsum emits directly in the packed layout, so packing has
+    no standalone transpose cost; the b/q >= 32 gate keeps the tiny
+    latency-bound shapes on the simpler unpacked plan."""
     for s_sub in (16, 32, 64):
-        if s0 <= s_sub and b // (128 // s_sub) >= 128:
+        if s0 <= s_sub and b // (128 // s_sub) >= 32:
             return 128 // s_sub, s_sub
     return 1, _round_up(max(s0, 128), 128)
 
