@@ -379,7 +379,12 @@ def prefix_beam_search(log_probs: jnp.ndarray,
         blank=blank, lm_table=lm_table, lm_order=lm_order,
         lm_alpha=lm_alpha, lm_beta=lm_beta, nlm_params=nlm_params,
         char_topk=char_topk, prune_logp=prune_logp,
-        return_beams=return_beams)
+        return_beams=return_beams,
+        # the per-frame body with a per-beam GRU is ~20x larger than the
+        # n-gram one; unrolling 8 frames made XLA compile times explode
+        # (>9 min at B=32/T=400/K=64/H=128) for little launch-overhead
+        # benefit since each frame is already substantial work
+        unroll=2 if nlm_params is not None else 8)
     return jax.vmap(fn)(log_probs, frame_lengths)
 
 
