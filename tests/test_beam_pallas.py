@@ -181,6 +181,65 @@ class TestKernelVsHost:
                                       np.asarray(xb[4]).astype(np.float32))
 
 
+class TestNeuralLM:
+    """Fused GRU char LM (SURVEY C10): the per-beam state lives in the
+    kernel's [G, H, LANE] scratch.  Hypotheses must match the XLA search
+    exactly on non-degenerate inputs; scores to float tolerance only
+    (matmul-order/transcendental ulps — the n-gram path's bit-exactness
+    does not extend to the neural path)."""
+
+    def _nlm(self, a, h=16, e=8):
+        from tpu_ctc.decode import neural_lm
+        import jax
+        cfg = neural_lm.CharRNNLMConfig(vocab_size=a, embed_dim=e,
+                                        hidden_dim=h)
+        return neural_lm.init_params(jax.random.PRNGKey(1), cfg)
+
+    def _check(self, lp, lens, k, **kw):
+        hp, hl, sp = beam_pallas.beam_search_pallas(
+            lp, lens, beam_width=k, max_len=24, **kw)
+        hx, xl, sx = prefix_beam_search(lp, lens, beam_width=k,
+                                        max_len=24, **kw)
+        np.testing.assert_array_equal(np.asarray(hl), np.asarray(xl))
+        np.testing.assert_array_equal(np.asarray(hp), np.asarray(hx))
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(sx),
+                                   atol=1e-4)
+
+    def test_gru_lm_matches_xla(self, rng):
+        lp, lens = _random_batch(rng, 3, 15, 8)
+        self._check(lp, lens, 8, nlm_params=self._nlm(8),
+                    lm_alpha=0.7, lm_beta=0.3)
+
+    def test_gru_lm_unaligned_vocab(self, rng):
+        lp, lens = _random_batch(rng, 2, 12, 29)
+        self._check(lp, lens, 16, nlm_params=self._nlm(29, h=32, e=16),
+                    lm_alpha=0.5, lm_beta=0.2)
+
+    def test_gru_plus_ngram(self, rng):
+        a = 8
+        lp, lens = _random_batch(rng, 2, 12, a)
+        seqs = [list(rng.randint(1, a, size=rng.randint(3, 10)))
+                for _ in range(30)]
+        lm = train_ngram_lm(seqs, vocab_size=a, order=2)
+        self._check(lp, lens, 8, nlm_params=self._nlm(a),
+                    lm_table=lm.tables_device(), lm_order=2,
+                    lm_alpha=0.6, lm_beta=0.4)
+
+    def test_supported_gru_dims(self):
+        import jax
+        from tpu_ctc.decode import neural_lm
+        ok = neural_lm.init_params(
+            jax.random.PRNGKey(0),
+            neural_lm.CharRNNLMConfig(vocab_size=29, embed_dim=64,
+                                      hidden_dim=128))
+        assert beam_pallas.supported(64, 29, 0, nlm_params=ok)
+        odd = neural_lm.init_params(
+            jax.random.PRNGKey(0),
+            neural_lm.CharRNNLMConfig(vocab_size=29, embed_dim=60,
+                                      hidden_dim=130))
+        assert not beam_pallas.supported(64, 29, 0, nlm_params=odd)
+
+
 class TestSupported:
     def test_supported_gate(self):
         assert beam_pallas.supported(64, 32, 3)

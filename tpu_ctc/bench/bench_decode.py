@@ -66,10 +66,11 @@ def main():
         nlm_params = neural_lm.init_params(jax.random.PRNGKey(0), nlm_cfg)
 
     rng = np.random.RandomState(0)
-    lp_np = np.asarray(
-        jax.nn.log_softmax(jnp.asarray(
-            rng.randn(args.batch, args.frames, args.vocab).astype(np.float32)),
-            -1))
+    # jit the normalization: eager ops on the remote-compile TPU tunnel
+    # cost one compile round-trip PER PRIMITIVE (minutes of wall time)
+    lp_np = np.asarray(jax.jit(lambda v: jax.nn.log_softmax(v, -1))(
+        jnp.asarray(rng.randn(args.batch, args.frames,
+                              args.vocab).astype(np.float32))))
     lp = jnp.asarray(lp_np)
     fl = jnp.full((args.batch,), args.frames, jnp.int32)
     audio_s = args.batch * args.frames / FRAMES_PER_SECOND
@@ -92,6 +93,26 @@ def main():
     log(f"[decode-bench] device: {dev_s*1e3:.2f} ms/batch "
         f"({args.batch} utts x {args.frames} frames, K={args.beam}) "
         f"-> {dev_thr:,.0f} audio-s/s")
+
+    if nlm_params is not None:
+        from tpu_ctc.ops import beam_pallas
+        if beam_pallas.supported(args.beam, args.vocab, 0,
+                                 nlm_params=nlm_params,
+                                 char_topk=args.char_topk):
+            fk = jax.jit(lambda x, l: beam_pallas.beam_search_pallas(
+                x, l, beam_width=args.beam, max_len=args.max_len,
+                prune_logp=args.prune_logp, nlm_params=nlm_params))
+            out = fk(lp, fl)
+            np.asarray(out[0])
+            t0 = time.time()
+            for _ in range(args.iters):
+                out = fk(lp, fl)
+            np.asarray(out[0])
+            fk_s = max(time.time() - t0 - sync_cost, 1e-9) / args.iters
+            log(f"[decode-bench] fused-kernel neural-LM: {fk_s*1e3:.2f} "
+                f"ms/batch -> {audio_s/fk_s:,.0f} audio-s/s "
+                f"({dev_s/fk_s:.1f}x the XLA search)")
+            dev_thr = max(dev_thr, audio_s / fk_s)
 
     n = min(args.host_utts, args.batch)
     cpp_thr = None

@@ -395,9 +395,13 @@ def make_beam_decoder(cfg, lm: Optional[NGramCharLM] = None,
     Routes through the fused Pallas kernel
     (:func:`tpu_ctc.ops.beam_pallas.beam_search_pallas`) when the config
     allows it and the kernel supports the configuration — one kernel
-    program per 16-group block instead of T compiled frames (~9x on v5e at
-    K=64).  Falls back to the XLA scan decoder otherwise (neural LM,
-    char_topk, K>128, vocab>64).
+    program per 16-group block instead of T compiled frames (~9x on v5e
+    at K=64; ~8x with a GRU char LM, whose per-beam state lives in the
+    kernel).  Falls back to the XLA scan decoder otherwise (char_topk,
+    K>128, vocab>64, GRU dims not tile-aligned).  Note the fused neural
+    path matches XLA hypotheses but scores carry ~1e-3-level
+    transcendental/matmul-order drift over hundreds of frames (the
+    n-gram path is bit-exact).
     """
     from tpu_ctc.models import birnn
     from tpu_ctc.ops import beam_pallas
@@ -422,7 +426,7 @@ def make_beam_decoder(cfg, lm: Optional[NGramCharLM] = None,
                 beam_width=cfg.decode.beam_width, max_len=max_len,
                 lm_table=lm_table, lm_order=lm_order,
                 lm_alpha=cfg.decode.lm_alpha, lm_beta=cfg.decode.lm_beta,
-                prune_logp=cfg.decode.prune_logp)
+                prune_logp=cfg.decode.prune_logp, nlm_params=nlm_params)
         else:
             hyps, lens, _ = prefix_beam_search(
                 log_probs, batch["frame_lengths"],

@@ -137,7 +137,7 @@ def make_collective_decoder(cfg: Config, mesh: Mesh,
                 beam_width=cfg.decode.beam_width, max_len=max_len,
                 lm_table=lm_table, lm_order=lm_order,
                 lm_alpha=cfg.decode.lm_alpha, lm_beta=cfg.decode.lm_beta,
-                prune_logp=cfg.decode.prune_logp)
+                prune_logp=cfg.decode.prune_logp, nlm_params=nlm_params)
         else:
             hyps, lens, _ = prefix_beam_search(
                 log_probs, frame_lengths,

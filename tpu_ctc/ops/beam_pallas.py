@@ -127,8 +127,18 @@ def _interpret() -> bool:
 
 def supported(beam_width: int, vocab: int, lm_order: int,
               nlm_params=None, char_topk: int = 0) -> bool:
+    if nlm_params is not None:
+        try:
+            e = nlm_params["embed"].shape[1]
+            h = nlm_params["bz"].shape[0]
+        except (KeyError, AttributeError, IndexError, TypeError):
+            return False
+        # sublane-tile-aligned GRU dims; H bounded by the [G, H, 128]
+        # state scratch budget
+        if e % 8 or h % 8 or e > 128 or h > 256:
+            return False
     return (beam_width <= _LANE and vocab <= 64 and lm_order <= 3
-            and nlm_params is None and not char_topk)
+            and not char_topk)
 
 
 def pack_factor(beam_width: int) -> int:
@@ -144,11 +154,13 @@ def pack_factor(beam_width: int) -> int:
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
-                 pb_s, pnb_s, plen_s, last_s, last2_s, h1_s, h2_s, *,
+def _beam_kernel(lp_ref, len_ref, lm_ref, embt_ref, wx_ref, wh_ref,
+                 wo_ref, nb_ref, bp_ref, fin_ref,
+                 pb_s, pnb_s, plen_s, last_s, last2_s, h1_s, h2_s, hlm_s, *,
                  g: int, k: int, a: int, blank: int, t_total: int,
                  max_len: int, lm_order: int, lm_alpha: float,
-                 lm_beta: float, prune_logp: Optional[float], pack: int):
+                 lm_beta: float, prune_logp: Optional[float], pack: int,
+                 nlm: bool, e_dim: int, h_dim: int):
     """G lane-groups' full searches in ONE program (``pack`` utterances
     side by side per group, G groups stacked in the sublane dim).
 
@@ -161,6 +173,21 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
     state [G, LANE] (f32 / i32 hashes).  Lane l of group q holds slot
     l % KQ of utterance q*pack + l // KQ, KQ = LANE // pack; slots >= k
     stay dead.
+
+    Neural char LM (``nlm``; SURVEY C10, the NAACL'15 path): every beam
+    lane carries its GRU state in the TRANSPOSED [G, H, LANE] scratch
+    ``hlm_s`` — beams in lanes, hidden features in sublanes — which
+    makes every LM op relayout-free: LM rows log_softmax(Wo h) land
+    directly in the kernel's [G, A, KP] grid layout via one batched
+    [A, H] x [G, H, KP] matmul, the extension char's embedding comes
+    from an [E, A] x (char one-hot [G, A, KP]) matmul, gate projections
+    are [3H, E/H]-stacked batched matmuls, and the parent-state rebuild
+    reuses the oh3 one-hot ([G, KP, KP] x [G, H, KP]).  All
+    payload-carrying matmuls run at Precision.HIGHEST.  Weight refs
+    (zero-size dummies when nlm=False): embt [E, A] = embed^T, wx
+    [3H, E] = (Wz|Wr|Wh) input-projection rows transposed, wh [3H, H]
+    recurrent rows, wo [A, H] = Wo^T, nb [3H + A, 1] = (bz|br|bh|bo)
+    with bo's padded-vocab slots at NEG_INF.
 
     Batching G groups per program is what makes the kernel fast: each
     frame is ~60 small VPU/MXU ops whose issue latency dominates at
@@ -206,6 +233,8 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
             jnp.where(slot_in == 0, _H1_EMPTY, lane + 1), (g, kp))
         h2_s[:, :] = jnp.broadcast_to(
             jnp.where(slot_in == 0, _H2_EMPTY, lane + 1), (g, kp))
+        if nlm:
+            hlm_s[:, :, :] = jnp.zeros((g, h_dim, kp), f32)
 
     # --- block-structured lane constants (all [KP,KP] 0/1 f32) ---------
     li = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0)
@@ -278,6 +307,24 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
                           precision=_HIGHEST).reshape(ga, kp)
         if lm_row is not None:
             lm_row = lm_alpha * lm_row + lm_beta
+        if nlm:
+            # neural rows: log_softmax(Wo h + bo)[c] per beam, computed
+            # directly in the [G, A, KP] grid layout (see docstring);
+            # blank masked like neural_lm.log_probs, padded-vocab slots
+            # masked by bo's NEG_INF pad
+            hlm = hlm_s[:, :, :]                              # [G,H,KP]
+            wo_b = jnp.broadcast_to(wo_ref[:, :][None], (g, a, h_dim))
+            lgt = bdot(wo_b, hlm, ((2,), (1,)), precision=_HIGHEST)
+            bo_col = nb_ref[3 * h_dim:3 * h_dim + a, 0:1]     # [A,1]
+            lgt = lgt + bo_col[None]
+            lgt = lgt + jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, a, 1), 1) == blank,
+                -1e30, 0.0)
+            shifted = lgt - jnp.max(lgt, axis=1, keepdims=True)
+            lsm = shifted - jnp.log(
+                jnp.sum(jnp.exp(shifted), axis=1, keepdims=True))
+            nrow = (lm_alpha * lsm.reshape(ga, kp) + lm_beta)
+            lm_row = nrow if lm_row is None else lm_row + nrow
 
         # ---- mate detection (sort-free merge, see decode.beam) -------
         ph1 = (h1 - last_i) * _H1_INV                             # [G,KP]
@@ -528,6 +575,38 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, bp_ref, fin_ref,
         h1_s[:, :] = jnp.where(active_l, n_h1, h1)
         h2_s[:, :] = jnp.where(active_l, n_h2, h2)
 
+        if nlm:
+            # ---- GRU state rebuild + advance (transposed layout) -------
+            # parent pick via the same oh3 one-hot; extended slots step
+            # the GRU on their extension char (gru_step in neural_lm.py)
+            h_par = bdot(hlm, oh3, ((2,), (2,)),
+                         precision=_HIGHEST)                  # [G,H,KPs]
+            aoh = (jax.lax.broadcasted_iota(jnp.int32, (1, a, 1), 1)
+                   == ec_i[:, None, :]).astype(f32)           # [G,A,KP]
+            embt_b = jnp.broadcast_to(embt_ref[:, :][None], (g, e_dim, a))
+            x_t = bdot(embt_b, aoh, ((2,), (1,)),
+                       precision=_HIGHEST)                    # [G,E,KP]
+            wx_b = jnp.broadcast_to(wx_ref[:, :][None],
+                                    (g, 3 * h_dim, e_dim))
+            xg = bdot(wx_b, x_t, ((2,), (1,)),
+                      precision=_HIGHEST)                     # [G,3H,KP]
+            wh_zr = jnp.broadcast_to(wh_ref[0:2 * h_dim, :][None],
+                                     (g, 2 * h_dim, h_dim))
+            hg = bdot(wh_zr, h_par, ((2,), (1,)),
+                      precision=_HIGHEST)                     # [G,2H,KP]
+            b_zr = nb_ref[0:2 * h_dim, 0:1]                   # [2H,1]
+            zr = jax.nn.sigmoid(xg[:, :2 * h_dim, :] + hg + b_zr[None])
+            z_g, r_g = zr[:, :h_dim, :], zr[:, h_dim:, :]
+            wh_c = jnp.broadcast_to(wh_ref[2 * h_dim:, :][None],
+                                    (g, h_dim, h_dim))
+            cg = bdot(wh_c, r_g * h_par, ((2,), (1,)),
+                      precision=_HIGHEST)                     # [G,H,KP]
+            b_h = nb_ref[2 * h_dim:3 * h_dim, 0:1]
+            cand_h = jnp.tanh(xg[:, 2 * h_dim:, :] + cg + b_h[None])
+            h_new = (1.0 - z_g) * h_par + z_g * cand_h
+            h_next = jnp.where(extend[:, None, :], h_new, h_par)
+            hlm_s[:, :, :] = jnp.where(active_l[:, None, :], h_next, hlm)
+
     def body(i, _):
         active_any = ti * tc + i < len_max
 
@@ -599,6 +678,7 @@ def beam_search_pallas(log_probs: jnp.ndarray,
                        lm_alpha: float = 1.0,
                        lm_beta: float = 0.0,
                        prune_logp: Optional[float] = None,
+                       nlm_params=None,
                        return_beams: bool = False):
     """Batched exact prefix beam search, fully fused.
 
@@ -609,7 +689,7 @@ def beam_search_pallas(log_probs: jnp.ndarray,
     """
     b, t_total, a_in = log_probs.shape
     k = beam_width
-    if not supported(k, a_in, lm_order):
+    if not supported(k, a_in, lm_order, nlm_params=nlm_params):
         raise ValueError("beam_search_pallas: unsupported configuration")
     pack = pack_factor(k)
     kq = _LANE // pack
@@ -669,11 +749,43 @@ def beam_search_pallas(log_probs: jnp.ndarray,
         lm_in = lm_table.astype(jnp.float32).reshape(-1, a).T     # [A, ctx]
         rows = lm_in.shape[1]
 
+    f32 = jnp.float32
+    if nlm_params is not None:
+        # transposed GRU weights (kernel docstring); vocab padding: dead
+        # embed rows (never selected) and NEG_INF bo slots (softmax-dead)
+        emb = nlm_params["embed"].astype(f32)                     # [V, E]
+        e_dim, h_dim = emb.shape[1], nlm_params["bz"].shape[0]
+        embt = jnp.pad(emb, ((0, a - a_in), (0, 0))).T            # [E, A]
+        wz, wr, wh_ = (nlm_params[n].astype(f32)
+                       for n in ("wz", "wr", "wh"))               # [E+H, H]
+        wx_in = jnp.concatenate(
+            [wz[:e_dim].T, wr[:e_dim].T, wh_[:e_dim].T], axis=0)  # [3H, E]
+        wh_in = jnp.concatenate(
+            [wz[e_dim:].T, wr[e_dim:].T, wh_[e_dim:].T], axis=0)  # [3H, H]
+        wo_in = jnp.pad(nlm_params["wo"].astype(f32),
+                        ((0, 0), (0, a - a_in))).T                # [A, H]
+        bo = jnp.pad(nlm_params["bo"].astype(f32), (0, a - a_in),
+                     constant_values=NEG_INF)
+        nb_in = jnp.concatenate(
+            [nlm_params["bz"].astype(f32), nlm_params["br"].astype(f32),
+             nlm_params["bh"].astype(f32), bo])[:, None]      # [3H+A, 1]
+    else:
+        e_dim = h_dim = 8
+        embt = jnp.zeros((e_dim, a), f32)
+        wx_in = jnp.zeros((3 * h_dim, e_dim), f32)
+        wh_in = jnp.zeros((3 * h_dim, h_dim), f32)
+        wo_in = jnp.zeros((a, h_dim), f32)
+        nb_in = jnp.zeros((3 * h_dim + a, 1), f32)
+
     kernel = functools.partial(
         _beam_kernel, g=g_blk, k=k, a=a, blank=blank, t_total=t_pad,
         max_len=max_len, lm_order=lm_order if lm_table is not None else 0,
         lm_alpha=lm_alpha, lm_beta=lm_beta, prune_logp=prune_logp,
-        pack=pack)
+        pack=pack, nlm=nlm_params is not None, e_dim=e_dim, h_dim=h_dim)
+
+    def shared(shape):
+        return pl.BlockSpec(shape, lambda i, t: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
 
     bp, fin = pl.pallas_call(
         kernel,
@@ -683,8 +795,12 @@ def beam_search_pallas(log_probs: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g_blk, _LANE), lambda i, t: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((a, rows), lambda i, t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            shared((a, rows)),
+            shared((e_dim, a)),
+            shared((3 * h_dim, e_dim)),
+            shared((3 * h_dim, h_dim)),
+            shared((a, h_dim)),
+            shared((3 * h_dim + a, 1)),
         ],
         out_specs=[
             pl.BlockSpec((g_blk, tc, _LANE), lambda i, t: (i, t, 0),
@@ -698,10 +814,11 @@ def beam_search_pallas(log_probs: jnp.ndarray,
         ],
         scratch_shapes=[pltpu.VMEM((g_blk, _LANE), jnp.float32)
                         for _ in range(5)]
-        + [pltpu.VMEM((g_blk, _LANE), jnp.int32) for _ in range(2)],
+        + [pltpu.VMEM((g_blk, _LANE), jnp.int32) for _ in range(2)]
+        + [pltpu.VMEM((g_blk, h_dim, _LANE), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(lp_t, len_tile, lm_in)
+    )(lp_t, len_tile, lm_in, embt, wx_in, wh_in, wo_in, nb_in)
 
     # unpack lane-groups back to per-utterance [B, ...] tensors
     bp = (bp[:groups, :t_total].reshape(groups, t_total, pack, kq)
