@@ -54,3 +54,29 @@ class TestBeamIntegration:
         d_best = list(np.asarray(hyps[0])[: int(lens[0])])
         assert d_best == h_best, (d_best, h_best)
         np.testing.assert_allclose(float(scores[0]), h_score, rtol=1e-3)
+
+
+class TestNeuralLMCli:
+    def test_cli_decode_with_neural_lm(self, tmp_path, capsys):
+        """SURVEY C10 end-to-end: `cli decode --beam` with
+        decode.neural_lm=True trains the in-repo GRU char LM on the
+        train transcripts and fuses it into the (fused-kernel) search."""
+        from tpu_ctc.cli import main as cli_main
+
+        rc = cli_main([
+            "decode", "--config", "1",
+            "--set", "model.hidden_dim=16", "--set", "model.input_dim=8",
+            "--set", "model.compute_dtype=float32",
+            "--set", "data.batch_size=4",
+            "--set", "data.bucket_boundaries=(80,)",
+            "--set", "decode.beam_width=8",
+            "--set", "decode.neural_lm=True",
+            "--set", "decode.neural_lm_hidden=16",
+            "--set", "decode.neural_lm_embed=8",
+            "--set", "decode.neural_lm_steps=5",
+            "--set", "decode.lm_order=0",
+            "--synthetic", "8", "--beam",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "CER" in out

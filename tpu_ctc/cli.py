@@ -163,7 +163,11 @@ def cmd_decode(args):
             lm_data = ManifestDataset(args.data, cfg, split="train")
         lm = (train_char_lm_from_data(lm_data, cfg) if cfg.decode.lm_order
               else None)
-        decode_fn = make_beam_decoder(cfg, lm=lm)
+        nlm_params = None
+        if getattr(cfg.decode, "neural_lm", False):
+            from tpu_ctc.decode.neural_lm import train_nlm_from_data
+            nlm_params = train_nlm_from_data(lm_data, cfg)
+        decode_fn = make_beam_decoder(cfg, lm=lm, nlm_params=nlm_params)
     else:
         decode_fn = None
 

@@ -146,10 +146,19 @@ class DecodeConfig:
     # acoustic log-prob become beam extensions (0 = exact, all chars).
     # Shrinks the per-frame candidate set from K*A to K*(C+1).
     char_topk: int = 0
+    # Neural character LM (SURVEY C10, Maas NAACL'15): train an in-repo
+    # GRU char LM on the train split's transcripts and fuse it into the
+    # beam search (additively with the n-gram when lm_order > 0).  The
+    # fused kernel hosts the per-beam GRU state on-device when the dims
+    # are tile-aligned (E % 8 == 0 <= 128, H % 8 == 0 <= 256).
+    neural_lm: bool = False
+    neural_lm_hidden: int = 128
+    neural_lm_embed: int = 64
+    neural_lm_steps: int = 300     # LM training steps (adam, in-repo)
     # Route through the fused Pallas beam-search kernel
     # (tpu_ctc.ops.beam_pallas) whenever its supported() gate holds
-    # (K<=128, vocab<=64, n-gram order<=3, no neural LM / char_topk);
-    # False forces the XLA scan decoder.
+    # (K<=128, vocab<=64, n-gram order<=3, tile-aligned GRU dims;
+    # char_topk stays XLA-only); False forces the XLA scan decoder.
     use_fused_kernel: bool = True
 
 

@@ -89,17 +89,20 @@ def train_ngram_lm(label_seqs: List[np.ndarray], vocab_size: int,
     return NGramCharLM(order=order, vocab_size=a, logp=logp)
 
 
+def label_seqs_of(dataset) -> List[np.ndarray]:
+    """Transcript label sequences of a dataset, without payload reads."""
+    if hasattr(dataset, "_labels"):      # lazy ManifestDataset: labels are
+        return list(dataset._labels)     # already decoded — no payload reads
+    if hasattr(dataset, "base"):         # DatasetView over a lazy dataset
+        return [dataset.base._labels[i] for i in dataset.indices]
+    return [labels for _, labels in dataset]
+
+
 def train_char_lm_from_data(dataset, cfg) -> Optional[NGramCharLM]:
     """Convenience: train the decode-config LM from (feats, labels) pairs."""
     if cfg.decode.lm_order <= 0:
         return None
-    if hasattr(dataset, "_labels"):      # lazy ManifestDataset: labels are
-        seqs = list(dataset._labels)     # already decoded — no payload reads
-    elif hasattr(dataset, "base"):       # DatasetView over a lazy dataset
-        seqs = [dataset.base._labels[i] for i in dataset.indices]
-    else:
-        seqs = [labels for _, labels in dataset]
-    return train_ngram_lm(seqs, cfg.model.vocab_size,
+    return train_ngram_lm(label_seqs_of(dataset), cfg.model.vocab_size,
                           order=cfg.decode.lm_order)
 
 

@@ -129,6 +129,21 @@ def train_char_rnn_lm(label_seqs: List[np.ndarray], cfg: CharRNNLMConfig,
     return params, float(nll)
 
 
+def train_nlm_from_data(dataset, cfg) -> Optional[Dict]:
+    """Convenience: train the decode-config GRU char LM from a dataset
+    (the neural analogue of ``lm.train_char_lm_from_data``); returns the
+    param pytree or None when ``cfg.decode.neural_lm`` is off."""
+    if not getattr(cfg.decode, "neural_lm", False):
+        return None
+    from tpu_ctc.decode.lm import label_seqs_of
+    nl_cfg = CharRNNLMConfig(vocab_size=cfg.model.vocab_size,
+                             embed_dim=cfg.decode.neural_lm_embed,
+                             hidden_dim=cfg.decode.neural_lm_hidden)
+    params, nll = train_char_rnn_lm(label_seqs_of(dataset), nl_cfg,
+                                    steps=cfg.decode.neural_lm_steps)
+    return params
+
+
 class CharRNNLMHost:
     """Host-side adapter exposing ``score_host`` like NGramCharLM."""
 
