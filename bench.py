@@ -125,7 +125,19 @@ def bench_tpu_decode(batch=32, t_frames=400, vocab=29, beam=64, iters=10):
         lp, lens, beam_width=beam, max_len=128), "decode pallas")
     xla_thr = run(lambda: prefix_beam_search(
         lp, lens, beam_width=beam, max_len=128), "decode xla")
-    return pallas_thr, xla_thr
+
+    # The NAACL'15 headline path: GRU char LM fused in-kernel (per-beam
+    # state in VMEM).  The XLA neural search (~850 audio-s/s, >4 min
+    # compile at this shape) is benched separately by bench_decode.
+    from tpu_ctc.decode import neural_lm
+    nlm = neural_lm.init_params(
+        jax.random.PRNGKey(0),
+        neural_lm.CharRNNLMConfig(vocab_size=vocab, embed_dim=64,
+                                  hidden_dim=128))
+    nlm_thr = run(lambda: beam_search_pallas(
+        lp, lens, beam_width=beam, max_len=128, nlm_params=nlm,
+        lm_alpha=0.7, lm_beta=0.3), "decode pallas+GRU-LM")
+    return pallas_thr, xla_thr, nlm_thr
 
 
 def bench_cpu_reference(hidden=1024, num_bi=3, t_frames=400, vocab=29,
@@ -167,7 +179,7 @@ def main():
 
     kw = dict(hidden=args.hidden, num_bi=args.layers, t_frames=args.frames)
     tpu_thr = bench_tpu_train(batch=args.batch, steps=args.steps, **kw)
-    dec_thr, dec_xla = bench_tpu_decode(t_frames=args.frames)
+    dec_thr, dec_xla, dec_nlm = bench_tpu_decode(t_frames=args.frames)
     if args.skip_cpu_baseline:
         cpu_thr = None
     else:
@@ -182,6 +194,8 @@ def main():
         "decode_throughput": round(dec_thr, 2),
         "decode_unit": "audio_seconds_per_second_per_chip",
         "decode_vs_xla_search": round(dec_thr / dec_xla, 2),
+        # NAACL'15 headline path: GRU char LM fused in-kernel
+        "decode_neural_lm_throughput": round(dec_nlm, 2),
     }), flush=True)
 
 

@@ -131,3 +131,28 @@ def test_redistribution_emits_collectives(rng):
         txt = d.lower(params, bd).compile().as_text()
     assert "collective-permute" in txt or "all-to-all" in txt
     assert "all-gather" in txt
+
+
+def test_mesh_decode_neural_lm_matches_single_device(rng):
+    """Collective decode with the GRU char LM routed through the fused
+    kernel (per-beam state in VMEM) must equal the 1-device result."""
+    from tpu_ctc.decode import neural_lm
+
+    cfg, params, bd = setup(rng)
+    nlm = neural_lm.init_params(
+        jax.random.PRNGKey(3),
+        neural_lm.CharRNNLMConfig(vocab_size=6, embed_dim=8, hidden_dim=16))
+
+    single = mesh_lib.make_mesh(MeshConfig(data=1, model=1, seq=1),
+                                devices=jax.devices()[:1])
+    full = mesh_lib.make_mesh(MeshConfig(data=-1, model=1, seq=1))
+    with single:
+        d1 = make_collective_decoder(cfg, single, nlm_params=nlm,
+                                     use_beam=True, max_len=24)
+        h1, l1 = d1(params, bd)
+    with full:
+        d8 = make_collective_decoder(cfg, full, nlm_params=nlm,
+                                     use_beam=True, max_len=24)
+        h8, l8 = d8(params, bd)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h8))
