@@ -420,6 +420,9 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, embt_ref, wx_ref, wh_ref,
             w = jnp.maximum(jax.lax.shift_right_arithmetic(hi, 3)
                             - jax.lax.shift_right_arithmetic(lo, 3), 1)
             e7 = lo[None] + w[None] * edge_iota                   # [7,G,KP]
+            # per-edge loop: a fused 4D [7,G,A,KP] compare+reduce is
+            # semantically identical but crashes Mosaic's remote
+            # compile on this toolchain — keep the 3D ops
             ge = jnp.stack(
                 [jnp.sum((kcand3 >= e7[j][:, None, :]).astype(f32),
                          axis=1)                                  # [G,KP]
