@@ -179,11 +179,21 @@ def main():
 
     kw = dict(hidden=args.hidden, num_bi=args.layers, t_frames=args.frames)
     tpu_thr = bench_tpu_train(batch=args.batch, steps=args.steps, **kw)
-    dec_thr, dec_xla, dec_nlm = bench_tpu_decode(t_frames=args.frames)
+    # A transient tunnel failure in a secondary bench must not zero the
+    # whole artifact: record what succeeded.
+    try:
+        dec_thr, dec_xla, dec_nlm = bench_tpu_decode(t_frames=args.frames)
+    except Exception as e:       # pragma: no cover - environment flake
+        log(f"[bench] decode bench failed: {type(e).__name__}: {e}")
+        dec_thr = dec_xla = dec_nlm = None
     if args.skip_cpu_baseline:
         cpu_thr = None
     else:
-        cpu_thr = bench_cpu_reference(**kw)
+        try:
+            cpu_thr = bench_cpu_reference(**kw)
+        except Exception as e:   # pragma: no cover - environment flake
+            log(f"[bench] cpu reference failed: {type(e).__name__}: {e}")
+            cpu_thr = None
 
     print(json.dumps({
         "metric": "train_throughput",
@@ -191,11 +201,13 @@ def main():
         "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(tpu_thr / cpu_thr, 2) if cpu_thr else None,
         # second axis (VERDICT r2): exact beam decode, B=32/T=400/K=64
-        "decode_throughput": round(dec_thr, 2),
+        "decode_throughput": round(dec_thr, 2) if dec_thr else None,
         "decode_unit": "audio_seconds_per_second_per_chip",
-        "decode_vs_xla_search": round(dec_thr / dec_xla, 2),
+        "decode_vs_xla_search": (round(dec_thr / dec_xla, 2)
+                                 if dec_thr and dec_xla else None),
         # NAACL'15 headline path: GRU char LM fused in-kernel
-        "decode_neural_lm_throughput": round(dec_nlm, 2),
+        "decode_neural_lm_throughput": (round(dec_nlm, 2)
+                                        if dec_nlm else None),
     }), flush=True)
 
 
