@@ -36,6 +36,15 @@ class TestForwardParity:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_force_q_must_divide_128(self, rng):
+        """force_q values that don't divide 128 would build a
+        non-lane-aligned packing plan — must fail loudly (advisor r4)."""
+        logits, labels, tl, ll = rand_case(rng, 2, 16, 6, 4)
+        lp = jax.nn.log_softmax(logits, -1)
+        with pytest.raises(ValueError, match="divide 128"):
+            ctc_pallas.ctc_loss_from_log_probs(lp, labels, tl, ll,
+                                               force_q=3)
+
     def test_infeasible_clamped(self):
         logits = jnp.zeros((1, 2, 4))
         nll = ctc_pallas.ctc_loss(logits, jnp.array([[1, 2, 3]]),

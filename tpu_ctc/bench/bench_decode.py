@@ -47,11 +47,26 @@ def main():
                    help="static per-frame extension-char cap (0 = exact)")
     p.add_argument("--prune-logp", type=float, default=None,
                    help="acoustic log-prob pruning threshold")
+    p.add_argument("--lm-order", type=int, default=0,
+                   help="fuse a char n-gram LM of this order (trained "
+                        "in-repo on random sequences; timing-faithful)")
+    p.add_argument("--sweep-beams", default=None, metavar="K1,K2,...",
+                   help="bench the fused kernel at each beam width and "
+                        "print a sweep table (e.g. 64,100,128 — the "
+                        "reference's canonical widths, SURVEY C9)")
+    p.add_argument("--preset4", action="store_true",
+                   help="shortcut: the shipped preset-4 decode shape "
+                        "(B=64, T=1600, K=128, trigram char LM)")
     p.add_argument("--neural-lm", type=int, default=0, metavar="H",
-                   help="fuse a GRU char LM of hidden size H (runs the XLA "
-                        "search — the fused kernel excludes neural LMs; "
-                        "SURVEY C10 / NAACL'15 headline path)")
+                   help="score with a GRU char LM of hidden size H: benches "
+                        "the XLA search and, when the kernel supports the "
+                        "LM dims, the fused in-kernel GRU path too "
+                        "(SURVEY C10 / NAACL'15 headline path)")
     args = p.parse_args()
+    if args.preset4:
+        args.batch, args.frames, args.beam, args.lm_order = 64, 1600, 128, 3
+        args.max_len = 256
+        args.host_utts = 0      # host decoders take minutes at this shape
 
     import jax
     import jax.numpy as jnp
@@ -65,6 +80,16 @@ def main():
                                             hidden_dim=args.neural_lm)
         nlm_params = neural_lm.init_params(jax.random.PRNGKey(0), nlm_cfg)
 
+    lm_table, lm_order = None, 0
+    if args.lm_order:
+        from tpu_ctc.decode.lm import train_ngram_lm
+        r = np.random.RandomState(7)
+        seqs = [list(r.randint(1, args.vocab, size=r.randint(5, 20)))
+                for _ in range(200)]
+        lm = train_ngram_lm(seqs, vocab_size=args.vocab,
+                            order=args.lm_order)
+        lm_table, lm_order = lm.tables_device(), args.lm_order
+
     rng = np.random.RandomState(0)
     # jit the normalization: eager ops on the remote-compile TPU tunnel
     # cost one compile round-trip PER PRIMITIVE (minutes of wall time)
@@ -75,44 +100,64 @@ def main():
     fl = jnp.full((args.batch,), args.frames, jnp.int32)
     audio_s = args.batch * args.frames / FRAMES_PER_SECOND
 
-    f = jax.jit(lambda x, l: prefix_beam_search(
-        x, l, beam_width=args.beam, max_len=args.max_len,
-        char_topk=args.char_topk, prune_logp=args.prune_logp,
-        nlm_params=nlm_params))
-    out = f(lp, fl)
-    np.asarray(out[0])          # host fetch = true sync on the TPU tunnel
-    t0 = time.time()
-    np.asarray(out[0])          # fetch cost alone (ready value)
-    sync_cost = time.time() - t0
-    t0 = time.time()
-    for _ in range(args.iters):
-        out = f(lp, fl)
-    np.asarray(out[0])
-    dev_s = max(time.time() - t0 - sync_cost, 1e-9) / args.iters
-    dev_thr = audio_s / dev_s
-    log(f"[decode-bench] device: {dev_s*1e3:.2f} ms/batch "
-        f"({args.batch} utts x {args.frames} frames, K={args.beam}) "
-        f"-> {dev_thr:,.0f} audio-s/s")
+    from tpu_ctc.ops import beam_pallas
 
-    if nlm_params is not None:
-        from tpu_ctc.ops import beam_pallas
-        if beam_pallas.supported(args.beam, args.vocab, 0,
-                                 nlm_params=nlm_params,
-                                 char_topk=args.char_topk):
-            fk = jax.jit(lambda x, l: beam_pallas.beam_search_pallas(
+    def time_path(fn, label):
+        """Wall time with the scalar-fetch sync discipline (PERF.md)."""
+        fn = jax.jit(fn)
+        out = fn(lp, fl)
+        np.asarray(out[0])      # host fetch = true sync on the TPU tunnel
+        t0 = time.time()
+        np.asarray(out[0])      # fetch cost alone (ready value)
+        sync_cost = time.time() - t0
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = fn(lp, fl)
+        np.asarray(out[0])
+        s = max(time.time() - t0 - sync_cost, 1e-9) / args.iters
+        log(f"[decode-bench] {label}: {s*1e3:.2f} ms/batch "
+            f"({args.batch} utts x {args.frames} frames) "
+            f"-> {audio_s/s:,.0f} audio-s/s")
+        return s
+
+    lm_kw = dict(lm_table=lm_table, lm_order=lm_order,
+                 char_topk=args.char_topk, prune_logp=args.prune_logp)
+    sweep = {}
+    for kb in ([int(x) for x in args.sweep_beams.split(",")]
+               if args.sweep_beams else []):
+        s = time_path(
+            lambda x, l, kb=kb: beam_pallas.beam_search_pallas(
+                x, l, beam_width=kb, max_len=args.max_len, **lm_kw),
+            f"fused kernel K={kb}")
+        sweep[kb] = round(audio_s / s, 1)
+
+    ker_s = None
+    if nlm_params is None and beam_pallas.supported(
+            args.beam, args.vocab, lm_order, char_topk=args.char_topk):
+        ker_s = time_path(
+            lambda x, l: beam_pallas.beam_search_pallas(
+                x, l, beam_width=args.beam, max_len=args.max_len, **lm_kw),
+            f"fused kernel K={args.beam}"
+            + (f" trigram (preset-4 shape)" if args.preset4 else ""))
+
+    dev_s = time_path(
+        lambda x, l: prefix_beam_search(
+            x, l, beam_width=args.beam, max_len=args.max_len,
+            nlm_params=nlm_params, **lm_kw),
+        "xla search")
+    dev_thr = audio_s / (ker_s if ker_s is not None else dev_s)
+
+    if nlm_params is not None and beam_pallas.supported(
+            args.beam, args.vocab, lm_order, nlm_params=nlm_params,
+            char_topk=args.char_topk):
+        fk_s = time_path(
+            lambda x, l: beam_pallas.beam_search_pallas(
                 x, l, beam_width=args.beam, max_len=args.max_len,
-                prune_logp=args.prune_logp, nlm_params=nlm_params))
-            out = fk(lp, fl)
-            np.asarray(out[0])
-            t0 = time.time()
-            for _ in range(args.iters):
-                out = fk(lp, fl)
-            np.asarray(out[0])
-            fk_s = max(time.time() - t0 - sync_cost, 1e-9) / args.iters
-            log(f"[decode-bench] fused-kernel neural-LM: {fk_s*1e3:.2f} "
-                f"ms/batch -> {audio_s/fk_s:,.0f} audio-s/s "
-                f"({dev_s/fk_s:.1f}x the XLA search)")
-            dev_thr = max(dev_thr, audio_s / fk_s)
+                nlm_params=nlm_params, **lm_kw),
+            "fused-kernel neural-LM")
+        log(f"[decode-bench] fused neural kernel is {dev_s/fk_s:.1f}x "
+            "the XLA search")
+        dev_thr = max(dev_thr, audio_s / fk_s)
 
     n = min(args.host_utts, args.batch)
     cpp_thr = None
@@ -139,12 +184,17 @@ def main():
         log(f"[decode-bench] python host: {py_s*1e3:.1f} ms/utt "
             f"-> {(args.frames/FRAMES_PER_SECOND)/py_s:,.0f} audio-s/s")
 
-    print(json.dumps({
+    out = {
         "metric": "decode_throughput",
         "value": round(dev_thr, 1),
         "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(dev_thr / cpp_thr, 2) if cpp_thr else None,
-    }), flush=True)
+    }
+    if sweep:
+        out["beam_sweep"] = {str(k): v for k, v in sorted(sweep.items())}
+    if args.preset4:
+        out["shape"] = "preset4:B=64,T=1600,K=128,trigram"
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -397,23 +397,33 @@ def make_beam_decoder(cfg, lm: Optional[NGramCharLM] = None,
     allows it and the kernel supports the configuration — one kernel
     program per 16-group block instead of T compiled frames (~9x on v5e
     at K=64; ~8x with a GRU char LM, whose per-beam state lives in the
-    kernel).  Falls back to the XLA scan decoder otherwise (char_topk,
-    K>128, vocab>64, GRU dims not tile-aligned).  Note the fused neural
-    path matches XLA hypotheses but scores carry ~1e-3-level
-    transcendental/matmul-order drift over hundreds of frames (the
-    n-gram path is bit-exact).
+    kernel; char_topk/prune_logp run in-kernel).  Falls back to the XLA
+    scan decoder otherwise (K>128, vocab>64, LM order>3, GRU state over
+    the VMEM budget) — LOUDLY: the XLA neural search is ~8x slower with
+    multi-minute compiles, so a genuine fallback logs a warning.  Note
+    the fused neural path matches XLA hypotheses but scores carry
+    ~1e-3-level transcendental/matmul-order drift over hundreds of
+    frames (the n-gram path is bit-exact).
     """
+    import logging
+
     from tpu_ctc.models import birnn
     from tpu_ctc.ops import beam_pallas
 
     lm_table = lm.tables_device() if lm is not None else None
     lm_order = lm.order if lm is not None else 0
     vocab = cfg.model.vocab_size
-    use_kernel = (getattr(cfg.decode, "use_fused_kernel", True)
-                  and beam_pallas.supported(
-                      cfg.decode.beam_width, vocab, lm_order,
-                      nlm_params=nlm_params,
-                      char_topk=cfg.decode.char_topk))
+    want_kernel = getattr(cfg.decode, "use_fused_kernel", True)
+    use_kernel = want_kernel and beam_pallas.supported(
+        cfg.decode.beam_width, vocab, lm_order, nlm_params=nlm_params,
+        char_topk=cfg.decode.char_topk)
+    if want_kernel and not use_kernel:
+        logging.getLogger("tpu_ctc.decode").warning(
+            "fused beam-search kernel does not support this configuration "
+            "(K=%d vocab=%d lm_order=%d neural_lm=%s) — falling back to "
+            "the XLA scan search (n-gram: ~9x slower; neural LM: ~8x "
+            "slower with multi-minute XLA compiles at product shapes)",
+            cfg.decode.beam_width, vocab, lm_order, nlm_params is not None)
 
     def decode(params, batch):
         log_probs = birnn.log_posteriors(params, cfg.model, batch["feats"],
@@ -426,7 +436,8 @@ def make_beam_decoder(cfg, lm: Optional[NGramCharLM] = None,
                 beam_width=cfg.decode.beam_width, max_len=max_len,
                 lm_table=lm_table, lm_order=lm_order,
                 lm_alpha=cfg.decode.lm_alpha, lm_beta=cfg.decode.lm_beta,
-                prune_logp=cfg.decode.prune_logp, nlm_params=nlm_params)
+                prune_logp=cfg.decode.prune_logp,
+                char_topk=cfg.decode.char_topk, nlm_params=nlm_params)
         else:
             hyps, lens, _ = prefix_beam_search(
                 log_probs, batch["frame_lengths"],

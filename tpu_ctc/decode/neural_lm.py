@@ -70,8 +70,17 @@ def log_probs(params: Dict, h: jnp.ndarray, blank_id: int = 0) -> jnp.ndarray:
 
 
 def init_state(params: Dict, batch_shape=()) -> jnp.ndarray:
+    """Decode-time initial state: ONE BOS step from zeros.
+
+    Matches the training convention in :func:`sequence_nll`, where the
+    first character is predicted from ``gru_step(0, BOS)`` — every beam
+    therefore scores its first extension from a state the LM was
+    actually trained on (previously decoders started from raw zeros,
+    shifting every first-char score off-distribution)."""
     h = params["bz"].shape[0]
-    return jnp.zeros(batch_shape + (h,), jnp.float32)
+    h_bos = gru_step(params, jnp.zeros((h,), jnp.float32),
+                     jnp.asarray(BOS, jnp.int32))
+    return jnp.broadcast_to(h_bos, batch_shape + (h,))
 
 
 def sequence_nll(params: Dict, seqs: jnp.ndarray, lengths: jnp.ndarray
@@ -88,7 +97,10 @@ def sequence_nll(params: Dict, seqs: jnp.ndarray, lengths: jnp.ndarray
         nll = -jnp.take_along_axis(lp, tgt[:, None], axis=1)[:, 0]
         return h, nll
 
-    h0 = init_state(params, (b,))
+    # raw-zero start: the scan's first input IS the BOS token, so the
+    # first prediction is conditioned on gru_step(0, BOS) — the same
+    # state decode paths now start from via init_state
+    h0 = jnp.zeros((b, params["bz"].shape[0]), jnp.float32)
     _, nlls = jax.lax.scan(step, h0, (inputs.T, seqs.T))
     nlls = nlls.T                                    # [B, L]
     mask = (jnp.arange(l)[None, :] < lengths[:, None]).astype(jnp.float32)

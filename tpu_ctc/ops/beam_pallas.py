@@ -46,12 +46,15 @@ the algorithm:
     is reconstructed afterwards by one cheap reverse scan + one-hot
     compaction in XLA (off the hot loop).
 
-Scope: n-gram LM order <= 3 and no neural LM (the XLA path remains for
-those), beam_width <= 128, any vocab <= 64 (the wrapper pads the vocab
-axis to a sublane multiple — Mosaic cannot compile unaligned [A, lane]
-layouts, which is why the default A=29 alphabet failed on hardware in
-round 3), exact search plus optional ``prune_logp`` acoustic masking
-(char_topk stays XLA-only).  Interpret mode makes the kernel CI-testable
+Scope: n-gram LM order <= 3, optional fused GRU neural char LM (dims
+zero-padded to sublane multiples; padded state slots provably stay 0),
+beam_width <= 128, any vocab <= 64 (the wrapper pads the vocab axis to
+a sublane multiple — Mosaic cannot compile unaligned [A, lane] layouts,
+which is why the default A=29 alphabet failed on hardware in round 3),
+exact search plus both reference pruning knobs: ``prune_logp`` acoustic
+masking and ``char_topk`` (per-frame admission bar precomputed outside,
+streamed, one in-kernel compare).  Interpret mode makes the kernel
+CI-testable
 on CPU; parity vs the host dict decoder and the XLA search is
 BIT-EXACT, including tie-breaks: the top-K threshold search runs on
 order-isomorphic integer keys (no residual float band) and both device
@@ -105,10 +108,12 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 def _ordered_key(x):
     """Map f32 -> i32 preserving order: b >= 0 -> b, else ~b ^ (1 << 31).
 
-    Distinct floats map to distinct keys; -0.0 sorts just below +0.0
-    (indistinguishable to a float compare, deterministic and identical
-    in both device search paths)."""
-    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    Distinct floats map to distinct keys.  -0.0 is canonicalized to
+    +0.0 first (x + 0.0): a float compare treats them as equal, so
+    without the fold the integer keys would order -0.0 strictly below
+    +0.0 and a boundary tie landing on +-0.0 could select differently
+    from the XLA search's float top_k."""
+    b = jax.lax.bitcast_convert_type(x + 0.0, jnp.int32)
     return jnp.where(b >= 0, b,
                      jnp.bitwise_xor(jnp.bitwise_not(b),
                                      jnp.int32(-2147483648)))
@@ -125,6 +130,35 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _pad_nlm_params(nlm_params, e_pad: int, h_pad: int):
+    """Zero-pad GRU dims to sublane multiples — EXACT: padded h slots
+    see zero weight rows/biases, so z_pad = 0.5, cand_pad = tanh(0) = 0
+    and h_new_pad = 0.5*0 + 0.5*0 = 0 forever; real slots never read
+    padded slots (their weight entries are zero)."""
+    def pad(x, widths):
+        return jnp.pad(jnp.asarray(x, jnp.float32), widths)
+
+    e = int(nlm_params["embed"].shape[1])
+    h = int(nlm_params["bz"].shape[0])
+    de, dh = e_pad - e, h_pad - h
+    if not de and not dh:
+        return nlm_params
+    out = {"embed": pad(nlm_params["embed"], ((0, 0), (0, de))),
+           "wo": pad(nlm_params["wo"], ((0, dh), (0, 0))),
+           "bo": pad(nlm_params["bo"], ((0, 0),))}
+    for gate in ("z", "r", "h"):
+        w = jnp.asarray(nlm_params["w" + gate], jnp.float32)
+        wx, wh = w[:e], w[e:]
+        out["w" + gate] = jnp.concatenate(
+            [pad(wx, ((0, de), (0, dh))), pad(wh, ((0, dh), (0, dh)))])
+        out["b" + gate] = pad(nlm_params["b" + gate], ((0, dh),))
+    return out
+
+
 def supported(beam_width: int, vocab: int, lm_order: int,
               nlm_params=None, char_topk: int = 0) -> bool:
     if nlm_params is not None:
@@ -133,12 +167,13 @@ def supported(beam_width: int, vocab: int, lm_order: int,
             h = nlm_params["bz"].shape[0]
         except (KeyError, AttributeError, IndexError, TypeError):
             return False
-        # sublane-tile-aligned GRU dims; H bounded by the [G, H, 128]
-        # state scratch budget
-        if e % 8 or h % 8 or e > 128 or h > 256:
+        # GRU dims are zero-padded to sublane multiples of 8 by the
+        # wrapper (exactly: padded h slots provably stay 0 through the
+        # gates), so any E/H within the VMEM state budget fits; H is
+        # bounded by the [G, H, 128] state scratch.
+        if _round8(e) > 128 or _round8(h) > 256:
             return False
-    return (beam_width <= _LANE and vocab <= 64 and lm_order <= 3
-            and not char_topk)
+    return beam_width <= _LANE and vocab <= 64 and lm_order <= 3
 
 
 def pack_factor(beam_width: int) -> int:
@@ -154,13 +189,13 @@ def pack_factor(beam_width: int) -> int:
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _beam_kernel(lp_ref, len_ref, lm_ref, embt_ref, wx_ref, wh_ref,
+def _beam_kernel(lp_ref, len_ref, thr_ref, lm_ref, embt_ref, wx_ref, wh_ref,
                  wo_ref, nb_ref, bp_ref, fin_ref,
                  pb_s, pnb_s, plen_s, last_s, last2_s, h1_s, h2_s, hlm_s, *,
                  g: int, k: int, a: int, blank: int, t_total: int,
                  max_len: int, lm_order: int, lm_alpha: float,
                  lm_beta: float, prune_logp: Optional[float], pack: int,
-                 nlm: bool, e_dim: int, h_dim: int):
+                 nlm: bool, e_dim: int, h_dim: int, topk: bool):
     """G lane-groups' full searches in ONE program (``pack`` utterances
     side by side per group, G groups stacked in the sublane dim).
 
@@ -186,8 +221,10 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, embt_ref, wx_ref, wh_ref,
     payload-carrying matmuls run at Precision.HIGHEST.  Weight refs
     (zero-size dummies when nlm=False): embt [E, A] = embed^T, wx
     [3H, E] = (Wz|Wr|Wh) input-projection rows transposed, wh [3H, H]
-    recurrent rows, wo [A, H] = Wo^T, nb [3H + A, 1] = (bz|br|bh|bo)
-    with bo's padded-vocab slots at NEG_INF.
+    recurrent rows, wo [A, H] = Wo^T, nb [3H + A + H, 1] =
+    (bz|br|bh|bo|h_bos) with bo's padded-vocab slots at NEG_INF and
+    h_bos the precomputed BOS-stepped initial GRU state every beam
+    starts from (neural_lm.init_state — the training convention).
 
     Batching G groups per program is what makes the kernel fast: each
     frame is ~60 small VPU/MXU ops whose issue latency dominates at
@@ -234,7 +271,9 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, embt_ref, wx_ref, wh_ref,
         h2_s[:, :] = jnp.broadcast_to(
             jnp.where(slot_in == 0, _H2_EMPTY, lane + 1), (g, kp))
         if nlm:
-            hlm_s[:, :, :] = jnp.zeros((g, h_dim, kp), f32)
+            # BOS-stepped init state, broadcast to every beam lane
+            h_bos = nb_ref[3 * h_dim + a:3 * h_dim + a + h_dim, 0:1]
+            hlm_s[:, :, :] = jnp.broadcast_to(h_bos[None], (g, h_dim, kp))
 
     # --- block-structured lane constants (all [KP,KP] 0/1 f32) ---------
     li = jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0)
@@ -356,7 +395,19 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, embt_ref, wx_ref, wh_ref,
                         precision=_HIGHEST)                       # [G,A,KP]
             ext_from_mate = ext_from_mate + red_sum(
                 onehot_last * lm_m.reshape(ga, kp))
+        # char_topk acoustic pruning (SURVEY C9): the per-frame admission
+        # bar (C-th largest non-blank log-prob) is PRE-COMPUTED outside —
+        # it depends only on (utterance, frame), never on beam state — and
+        # streamed as one [G, Tc, KP] block; in-kernel it is one compare.
+        # Same threshold semantics as the XLA path's mate gate; on an
+        # exact-equal score AT the bar the ext grid admits all tied chars
+        # where XLA's top_k keeps the lowest-indexed (measure-zero).
+        thr_row = None
+        if topk:
+            thr_row = thr_ref[:, pl.ds(i, 1), :].reshape(g, kp)   # [G,KP]
         gate = has_mate
+        if topk:
+            gate = gate & (lp_at >= thr_row)
         if prune_logp is not None:
             gate = gate & (lp_at >= prune_logp)
         ext_from_mate = jnp.where(gate, ext_from_mate, NEG_INF)
@@ -370,6 +421,8 @@ def _beam_kernel(lp_ref, len_ref, lm_ref, embt_ref, wx_ref, wh_ref,
         ext = base + lp_g
         if lm_row is not None:
             ext = ext + lm_row
+        if topk:
+            ext = jnp.where(lp_g < rep(thr_row), NEG_INF, ext)
         if prune_logp is not None:
             ext = jnp.where(lp_g < prune_logp, NEG_INF, ext)
         ext = jnp.where(rep(plen) >= max_len, NEG_INF, ext)
@@ -670,7 +723,7 @@ def _reconstruct(bp: jnp.ndarray, best: jnp.ndarray, plen_best: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=(
     "beam_width", "max_len", "blank", "lm_order", "lm_alpha", "lm_beta",
-    "prune_logp", "return_beams"))
+    "prune_logp", "char_topk", "return_beams"))
 def beam_search_pallas(log_probs: jnp.ndarray,
                        frame_lengths: jnp.ndarray,
                        beam_width: int,
@@ -681,6 +734,7 @@ def beam_search_pallas(log_probs: jnp.ndarray,
                        lm_alpha: float = 1.0,
                        lm_beta: float = 0.0,
                        prune_logp: Optional[float] = None,
+                       char_topk: int = 0,
                        nlm_params=None,
                        return_beams: bool = False):
     """Batched exact prefix beam search, fully fused.
@@ -692,13 +746,26 @@ def beam_search_pallas(log_probs: jnp.ndarray,
     """
     b, t_total, a_in = log_probs.shape
     k = beam_width
-    if not supported(k, a_in, lm_order, nlm_params=nlm_params):
+    if not supported(k, a_in, lm_order, nlm_params=nlm_params,
+                     char_topk=char_topk):
         raise ValueError("beam_search_pallas: unsupported configuration")
     pack = pack_factor(k)
     kq = _LANE // pack
     b_pad = -(-b // pack) * pack                  # pad batch to pack size
     lp = log_probs.astype(jnp.float32)
     lens = frame_lengths.astype(jnp.int32)
+    # char_topk admission bar: C-th largest non-blank log-prob per frame
+    # (computed on the UNPADDED vocab; the XLA path's sel_thresh)
+    use_topk = bool(char_topk) and char_topk < a_in - 1
+    thr = None
+    if use_topk:
+        lp_ext = jnp.where(jnp.arange(a_in)[None, None, :] == blank,
+                           NEG_INF, lp)
+        thr = jax.lax.top_k(lp_ext, char_topk)[0][..., -1]        # [B, T]
+    if nlm_params is not None:
+        nlm_params = _pad_nlm_params(
+            nlm_params, _round8(int(nlm_params["embed"].shape[1])),
+            _round8(int(nlm_params["bz"].shape[0])))
     # Sublane-align the vocab axis: Mosaic cannot concat/offset [A, lane]
     # slices when A % 8 != 0 (fails to compile at the default alphabet
     # A=29 otherwise).  Padded characters get NEG_INF emissions, so they
@@ -715,6 +782,8 @@ def beam_search_pallas(log_probs: jnp.ndarray,
     if b_pad != b:
         lp = jnp.pad(lp, ((0, b_pad - b), (0, 0), (0, 0)))
         lens = jnp.pad(lens, (0, b_pad - b))      # dummies: 0 frames
+        if thr is not None:
+            thr = jnp.pad(thr, ((0, b_pad - b), (0, 0)))
     groups = b_pad // pack
 
     # G groups per kernel program (sublane-batched; see _beam_kernel).
@@ -744,6 +813,18 @@ def beam_search_pallas(log_probs: jnp.ndarray,
     len_tile = jnp.repeat(lens.reshape(groups, pack), kq,
                           axis=1)                      # [G, KP]
     len_tile = jnp.pad(len_tile, ((0, g_pad - groups), (0, 0)))
+    if use_topk:
+        # per-frame admission bar, lane-spread like the posteriors
+        thr_t = (thr.reshape(groups, pack, t_total).transpose(0, 2, 1)
+                 .repeat(kq, axis=2))                  # [G, T, KP]
+        thr_t = jnp.pad(thr_t, ((0, g_pad - groups), (0, t_pad - t_total),
+                                (0, 0)))
+        thr_spec = pl.BlockSpec((g_blk, tc, _LANE), lambda i, t: (i, t, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        thr_t = jnp.zeros((g_pad, 1, _LANE), jnp.float32)   # never read
+        thr_spec = pl.BlockSpec((g_blk, 1, _LANE), lambda i, t: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
     if lm_table is None or lm_order == 0:
         lm_in = jnp.zeros((a, 1), jnp.float32)
         rows = 1
@@ -769,22 +850,25 @@ def beam_search_pallas(log_probs: jnp.ndarray,
                         ((0, 0), (0, a - a_in))).T                # [A, H]
         bo = jnp.pad(nlm_params["bo"].astype(f32), (0, a - a_in),
                      constant_values=NEG_INF)
+        from tpu_ctc.decode.neural_lm import init_state as _nlm_init
+        h_bos = _nlm_init(nlm_params).astype(f32)         # [H] BOS-stepped
         nb_in = jnp.concatenate(
             [nlm_params["bz"].astype(f32), nlm_params["br"].astype(f32),
-             nlm_params["bh"].astype(f32), bo])[:, None]      # [3H+A, 1]
+             nlm_params["bh"].astype(f32), bo, h_bos])[:, None]  # [3H+A+H,1]
     else:
         e_dim = h_dim = 8
         embt = jnp.zeros((e_dim, a), f32)
         wx_in = jnp.zeros((3 * h_dim, e_dim), f32)
         wh_in = jnp.zeros((3 * h_dim, h_dim), f32)
         wo_in = jnp.zeros((a, h_dim), f32)
-        nb_in = jnp.zeros((3 * h_dim + a, 1), f32)
+        nb_in = jnp.zeros((3 * h_dim + a + h_dim, 1), f32)
 
     kernel = functools.partial(
         _beam_kernel, g=g_blk, k=k, a=a, blank=blank, t_total=t_pad,
         max_len=max_len, lm_order=lm_order if lm_table is not None else 0,
         lm_alpha=lm_alpha, lm_beta=lm_beta, prune_logp=prune_logp,
-        pack=pack, nlm=nlm_params is not None, e_dim=e_dim, h_dim=h_dim)
+        pack=pack, nlm=nlm_params is not None, e_dim=e_dim, h_dim=h_dim,
+        topk=use_topk)
 
     def shared(shape):
         return pl.BlockSpec(shape, lambda i, t: tuple(0 for _ in shape),
@@ -798,12 +882,13 @@ def beam_search_pallas(log_probs: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g_blk, _LANE), lambda i, t: (i, 0),
                          memory_space=pltpu.VMEM),
+            thr_spec,
             shared((a, rows)),
             shared((e_dim, a)),
             shared((3 * h_dim, e_dim)),
             shared((3 * h_dim, h_dim)),
             shared((a, h_dim)),
-            shared((3 * h_dim + a, 1)),
+            shared((3 * h_dim + a + h_dim, 1)),
         ],
         out_specs=[
             pl.BlockSpec((g_blk, tc, _LANE), lambda i, t: (i, t, 0),
@@ -821,7 +906,7 @@ def beam_search_pallas(log_probs: jnp.ndarray,
         + [pltpu.VMEM((g_blk, h_dim, _LANE), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(lp_t, len_tile, lm_in, embt, wx_in, wh_in, wo_in, nb_in)
+    )(lp_t, len_tile, thr_t, lm_in, embt, wx_in, wh_in, wo_in, nb_in)
 
     # unpack lane-groups back to per-utterance [B, ...] tensors
     bp = (bp[:groups, :t_total].reshape(groups, t_total, pack, kq)

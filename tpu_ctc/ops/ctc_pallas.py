@@ -318,6 +318,10 @@ def ctc_loss_from_log_probs(log_probs: jnp.ndarray,
         if force_q == 1:
             q, s_sub = 1, _round_up(max(s0, 128), 128)
         else:
+            if 128 % force_q:
+                raise ValueError(
+                    f"force_q={force_q} must divide 128: a non-divisor "
+                    "yields a non-lane-aligned packing plan")
             q, s_sub = force_q, 128 // force_q
             if s0 > s_sub:
                 raise ValueError(f"force_q={force_q} needs S0 <= {s_sub}")
