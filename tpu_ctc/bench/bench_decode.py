@@ -57,6 +57,9 @@ def main():
     p.add_argument("--preset4", action="store_true",
                    help="shortcut: the shipped preset-4 decode shape "
                         "(B=64, T=1600, K=128, trigram char LM)")
+    p.add_argument("--skip-xla", action="store_true",
+                   help="skip the XLA scan-search row (minutes of compile "
+                        "+ run at K=128/T=1600-scale shapes)")
     p.add_argument("--neural-lm", type=int, default=0, metavar="H",
                    help="score with a GRU char LM of hidden size H: benches "
                         "the XLA search and, when the kernel supports the "
@@ -140,11 +143,13 @@ def main():
             f"fused kernel K={args.beam}"
             + (f" trigram (preset-4 shape)" if args.preset4 else ""))
 
-    dev_s = time_path(
-        lambda x, l: prefix_beam_search(
-            x, l, beam_width=args.beam, max_len=args.max_len,
-            nlm_params=nlm_params, **lm_kw),
-        "xla search")
+    dev_s = None
+    if not args.skip_xla:
+        dev_s = time_path(
+            lambda x, l: prefix_beam_search(
+                x, l, beam_width=args.beam, max_len=args.max_len,
+                nlm_params=nlm_params, **lm_kw),
+            "xla search")
     dev_thr = audio_s / (ker_s if ker_s is not None else dev_s)
 
     if nlm_params is not None and beam_pallas.supported(
@@ -155,8 +160,9 @@ def main():
                 x, l, beam_width=args.beam, max_len=args.max_len,
                 nlm_params=nlm_params, **lm_kw),
             "fused-kernel neural-LM")
-        log(f"[decode-bench] fused neural kernel is {dev_s/fk_s:.1f}x "
-            "the XLA search")
+        if dev_s is not None:
+            log(f"[decode-bench] fused neural kernel is {dev_s/fk_s:.1f}x "
+                "the XLA search")
         dev_thr = max(dev_thr, audio_s / fk_s)
 
     n = min(args.host_utts, args.batch)
