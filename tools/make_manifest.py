@@ -144,6 +144,10 @@ def main(argv=None):
     p.add_argument("--split", default="train")
     p.add_argument("--val-frac", type=float, default=0.0,
                    help="carve off a validation split deterministically")
+    p.add_argument("--dev-frac", type=float, default=0.0,
+                   help="additionally carve a 'dev' split (for decode "
+                        "hyperparameter tuning — the role the reference's "
+                        "decoder_config.py sweeps played, SURVEY C9)")
     p.add_argument("--alphabet-out", default=None)
     args = p.parse_args(argv)
 
@@ -156,13 +160,19 @@ def main(argv=None):
     # deterministic split by utterance-id hash
     if args.val_frac > 0:
         import hashlib
-        val, train = [], []
+        val, dev, train = [], [], []
+        v_bar = args.val_frac * 10000
+        d_bar = (args.val_frac + args.dev_frac) * 10000
         for r in records:
-            h = int(hashlib.md5(r["id"].encode()).hexdigest()[:8], 16)
-            (val if (h % 10000) < args.val_frac * 10000 else train).append(r)
+            h = int(hashlib.md5(r["id"].encode()).hexdigest()[:8], 16) % 10000
+            (val if h < v_bar else dev if h < d_bar else train).append(r)
         write_manifest(args.out, args.split, train)
         write_manifest(args.out, "valid", val)
-        print(f"wrote {len(train)} train / {len(val)} valid records")
+        if args.dev_frac > 0:
+            write_manifest(args.out, "dev", dev)
+        print(f"wrote {len(train)} train / {len(val)} valid"
+              + (f" / {len(dev)} dev" if args.dev_frac > 0 else "")
+              + " records")
     else:
         write_manifest(args.out, args.split, records)
         print(f"wrote {len(records)} {args.split} records")

@@ -206,12 +206,17 @@ def cmd_decode(args):
 
 
 def cmd_score(args):
-    from tpu_ctc.decode.wer import format_score_line, parse_trn, score_corpus
+    from tpu_ctc.decode.wer import (bootstrap_ci, format_score_line,
+                                    parse_trn, score_corpus)
     refs = parse_trn(args.ref)
     hyps = parse_trn(args.hyp)
     for unit in (["word", "char"] if args.unit == "both" else [args.unit]):
         totals, _ = score_corpus(refs, hyps, unit)
-        print(format_score_line(totals, unit))
+        line = format_score_line(totals, unit)
+        if getattr(args, "ci", False):
+            lo, hi = bootstrap_ci(refs, hyps, unit)
+            line += f"  95% CI [{100*lo:.2f}, {100*hi:.2f}]"
+        print(line)
     return 0
 
 
@@ -266,6 +271,8 @@ def main(argv=None):
     sc.add_argument("--ref", required=True)
     sc.add_argument("--hyp", required=True)
     sc.add_argument("--unit", choices=["word", "char", "both"], default="both")
+    sc.add_argument("--ci", action="store_true",
+                    help="bootstrap 95%% CI (utterance resampling)")
     sc.set_defaults(fn=cmd_score)
 
     pc = sub.add_parser("print-config", parents=[common])

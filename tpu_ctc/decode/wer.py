@@ -114,6 +114,61 @@ def score_corpus(refs: dict, hyps: dict, unit: str = "word"):
     return totals, per_utt
 
 
+def _per_utt_counts(refs: dict, hyps: dict, unit: str = "word"):
+    """Aligned per-utterance (errors, ref_tokens) arrays over sorted ids."""
+    tok = (lambda s: s.split()) if unit == "word" else (lambda s: list(s))
+    errs, toks = [], []
+    for utt, ref_text in sorted(refs.items()):
+        r, h = tok(ref_text), tok(hyps.get(utt) or "")
+        s, i, d = align_counts(r, h)
+        errs.append(s + i + d)
+        toks.append(len(r))
+    return np.asarray(errs, np.int64), np.asarray(toks, np.int64)
+
+
+def bootstrap_ci(refs: dict, hyps: dict, unit: str = "word",
+                 n_boot: int = 2000, seed: int = 0,
+                 alpha: float = 0.05) -> Tuple[float, float]:
+    """Percentile bootstrap CI on the corpus error rate.
+
+    Resamples UTTERANCES with replacement (the unit of independence in a
+    speech eval set; token-level resampling would understate variance),
+    recomputing errors/ref_tokens per resample.  Returns the
+    (alpha/2, 1 - alpha/2) percentile band of the error rate.
+    """
+    errs, toks = _per_utt_counts(refs, hyps, unit)
+    n = len(errs)
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, n, size=(n_boot, n))
+    rates = errs[idx].sum(axis=1) / np.maximum(toks[idx].sum(axis=1), 1)
+    lo, hi = np.percentile(rates, [100 * alpha / 2, 100 * (1 - alpha / 2)])
+    return float(lo), float(hi)
+
+
+def paired_bootstrap(refs: dict, hyps_a: dict, hyps_b: dict,
+                     unit: str = "word", n_boot: int = 2000, seed: int = 0,
+                     alpha: float = 0.05):
+    """Paired bootstrap of WER(A) - WER(B) over SHARED resamples.
+
+    The right test for "decoder A beats decoder B on this eval set": the
+    same utterance draw scores both systems, so per-utterance difficulty
+    cancels and the CI reflects the systems' difference, not the set's
+    spread.  Returns (mean_diff, lo, hi, p_b_better) where p_b_better is
+    the fraction of resamples with WER(B) < WER(A).
+    """
+    errs_a, toks = _per_utt_counts(refs, hyps_a, unit)
+    errs_b, toks_b = _per_utt_counts(refs, hyps_b, unit)
+    assert (toks == toks_b).all(), "ref token mismatch between systems"
+    n = len(toks)
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, n, size=(n_boot, n))
+    tt = np.maximum(toks[idx].sum(axis=1), 1)
+    diff = errs_a[idx].sum(axis=1) / tt - errs_b[idx].sum(axis=1) / tt
+    lo, hi = np.percentile(diff, [100 * alpha / 2, 100 * (1 - alpha / 2)])
+    return (float(diff.mean()), float(lo), float(hi),
+            float((diff > 0).mean()))
+
+
 def parse_trn(path: str) -> dict:
     """Parse trn ("text (utt)") or tsv ("utt\\ttext") transcript files."""
     import re

@@ -28,8 +28,14 @@ def initialize(coordinator_address: Optional[str] = None,
 
     On TPU pods all arguments are auto-detected from the environment; pass
     them explicitly for CPU/GPU test rigs.  Idempotent.
+
+    The idempotence check must NOT touch the backend: probing
+    ``jax.process_count()`` here would itself initialize XLA, after which
+    ``jax.distributed.initialize`` unconditionally raises — the exact
+    failure the two-process test (tests/test_distributed_multiproc.py)
+    caught when this path first executed for real.
     """
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return  # already initialized
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
