@@ -126,6 +126,33 @@ def bench_tpu_decode(batch=32, t_frames=400, vocab=29, beam=64, iters=10):
     xla_thr = run(lambda: prefix_beam_search(
         lp, lens, beam_width=beam, max_len=128), "decode xla")
 
+    # Preset 4's OWN shape (VERDICT r4 item 1): B=64, T=1600, K=128,
+    # trigram char LM — the flagship decode preset as shipped.
+    from tpu_ctc.decode.lm import train_ngram_lm
+    r4 = np.random.RandomState(7)
+    seqs = [list(r4.randint(1, vocab, size=r4.randint(5, 20)))
+            for _ in range(200)]
+    lm = train_ngram_lm(seqs, vocab_size=vocab, order=3)
+    x4 = r4.randn(64, 1600, vocab).astype(np.float32) * 2
+    lp4 = jnp.asarray(x4 - np.log(np.exp(x4).sum(-1, keepdims=True)))
+    lens4 = jnp.full((64,), 1600, jnp.int32)
+    audio4 = 64 * 1600 / FRAMES_PER_SECOND
+
+    def run4():
+        return beam_search_pallas(lp4, lens4, beam_width=128, max_len=256,
+                                  lm_table=lm.tables_device(), lm_order=3,
+                                  lm_alpha=1.25, lm_beta=1.5)
+    out = run4()
+    jax.block_until_ready(out[0])
+    _ = float(out[2][0])
+    t0 = time.time()
+    for _ in range(5):
+        out = run4()
+    _ = float(out[2][0])
+    p4_thr = audio4 / ((time.time() - t0) / 5)
+    log(f"[bench] decode preset4 (B=64/T=1600/K=128/trigram): "
+        f"{(time.time()-t0)/5*1e3:.1f} ms/batch -> {p4_thr:.0f} audio-s/s")
+
     # The NAACL'15 headline path: GRU char LM fused in-kernel (per-beam
     # state in VMEM).  The XLA neural search (~850 audio-s/s, >4 min
     # compile at this shape) is benched separately by bench_decode.
@@ -137,7 +164,7 @@ def bench_tpu_decode(batch=32, t_frames=400, vocab=29, beam=64, iters=10):
     nlm_thr = run(lambda: beam_search_pallas(
         lp, lens, beam_width=beam, max_len=128, nlm_params=nlm,
         lm_alpha=0.7, lm_beta=0.3), "decode pallas+GRU-LM")
-    return pallas_thr, xla_thr, nlm_thr
+    return pallas_thr, xla_thr, nlm_thr, p4_thr
 
 
 def bench_cpu_reference(hidden=1024, num_bi=3, t_frames=400, vocab=29,
@@ -182,10 +209,11 @@ def main():
     # A transient tunnel failure in a secondary bench must not zero the
     # whole artifact: record what succeeded.
     try:
-        dec_thr, dec_xla, dec_nlm = bench_tpu_decode(t_frames=args.frames)
+        dec_thr, dec_xla, dec_nlm, dec_p4 = bench_tpu_decode(
+            t_frames=args.frames)
     except Exception as e:       # pragma: no cover - environment flake
         log(f"[bench] decode bench failed: {type(e).__name__}: {e}")
-        dec_thr = dec_xla = dec_nlm = None
+        dec_thr = dec_xla = dec_nlm = dec_p4 = None
     if args.skip_cpu_baseline:
         cpu_thr = None
     else:
@@ -208,6 +236,8 @@ def main():
         # NAACL'15 headline path: GRU char LM fused in-kernel
         "decode_neural_lm_throughput": (round(dec_nlm, 2)
                                         if dec_nlm else None),
+        # flagship preset 4 at its shipped shape (B=64/T=1600/K=128/3-gram)
+        "decode_preset4_throughput": (round(dec_p4, 2) if dec_p4 else None),
     }), flush=True)
 
 

@@ -69,6 +69,27 @@ class TestManifestRoundtrip:
         assert os.path.exists(src / "train.jsonl")
         assert os.path.exists(src / "valid.jsonl")
 
+    def test_dev_frac_carves_disjoint_split(self, tmp_path):
+        """--dev-frac writes a dev.jsonl disjoint from train/valid
+        (decode hyperparameter tuning split, VERDICT r4 item 2)."""
+        import json
+        src = self.make_corpus(tmp_path)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "make_manifest.py"),
+             "--layout", "dir", "--src", str(src), "--out", str(src),
+             "--val-frac", "0.3", "--dev-frac", "0.3"],
+            capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr
+        ids = {}
+        for split in ("train", "valid", "dev"):
+            path = src / f"{split}.jsonl"
+            assert os.path.exists(path), split
+            ids[split] = {json.loads(l)["id"] for l in open(path) if l.strip()}
+        assert not (ids["train"] & ids["valid"])
+        assert not (ids["train"] & ids["dev"])
+        assert not (ids["valid"] & ids["dev"])
+        assert len(ids["train"] | ids["valid"] | ids["dev"]) == 4
+
 
 class TestScorer:
     def test_trn_parse_and_wer(self, tmp_path):

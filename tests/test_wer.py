@@ -53,3 +53,46 @@ class TestBatchedEditDistance:
             want = brute_levenshtein(list(refs[b, :rl[b]]),
                                      list(hyps[b, :hl[b]]))
             assert got[b] == want, (b, got[b], want)
+
+
+class TestBootstrap:
+    """Bootstrap CIs (VERDICT r4 item 2): utterance-resampling bands."""
+
+    def _corpus(self, rng, n=40, err_every=4):
+        refs, hyps = {}, {}
+        for i in range(n):
+            words = [f"w{rng.randint(50)}" for _ in range(5)]
+            refs[f"u{i:03d}"] = " ".join(words)
+            hyp = list(words)
+            if i % err_every == 0:
+                hyp[0] = "xx"                       # one sub per err utt
+            hyps[f"u{i:03d}"] = " ".join(hyp)
+        return refs, hyps
+
+    def test_ci_brackets_point_estimate(self, rng):
+        from tpu_ctc.decode.wer import bootstrap_ci, score_corpus
+        refs, hyps = self._corpus(rng)
+        totals, _ = score_corpus(refs, hyps, "word")
+        lo, hi = bootstrap_ci(refs, hyps, "word", n_boot=500, seed=1)
+        assert lo <= totals["error_rate"] <= hi
+        assert 0.0 <= lo < hi <= 1.0
+        # deterministic for a fixed seed
+        assert (lo, hi) == bootstrap_ci(refs, hyps, "word", n_boot=500,
+                                        seed=1)
+
+    def test_paired_bootstrap_identical_systems_is_zero(self, rng):
+        from tpu_ctc.decode.wer import paired_bootstrap
+        refs, hyps = self._corpus(rng)
+        d, lo, hi, p = paired_bootstrap(refs, hyps, hyps, "word",
+                                        n_boot=200)
+        assert d == 0.0 and lo == 0.0 and hi == 0.0
+
+    def test_paired_bootstrap_detects_better_system(self, rng):
+        from tpu_ctc.decode.wer import paired_bootstrap
+        refs, hyps_bad = self._corpus(rng, err_every=2)
+        hyps_good = dict(refs)               # perfect system on SAME refs
+        # A=bad, B=good -> diff > 0, CI excludes 0, P(B better) ~ 1
+        d, lo, hi, p = paired_bootstrap(refs, hyps_bad, hyps_good, "word",
+                                        n_boot=500, seed=2)
+        assert d > 0 and lo > 0
+        assert p > 0.99
