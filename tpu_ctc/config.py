@@ -157,8 +157,9 @@ class DecodeConfig:
     neural_lm_steps: int = 300     # LM training steps (adam, in-repo)
     # Route through the fused Pallas beam-search kernel
     # (tpu_ctc.ops.beam_pallas) whenever its supported() gate holds
-    # (K<=128, vocab<=64, n-gram order<=3, tile-aligned GRU dims;
-    # char_topk stays XLA-only); False forces the XLA scan decoder.
+    # (K<=128, vocab<=64, n-gram order<=3; GRU dims are zero-padded to
+    # tile alignment; char_topk/prune_logp run in-kernel); False forces
+    # the XLA scan decoder.
     use_fused_kernel: bool = True
 
 
