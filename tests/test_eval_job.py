@@ -63,6 +63,18 @@ class TestDecodeEvalJob:
         totals, _ = score_corpus(ref, hyp, "word")
         assert (totals["sub"], totals["ins"], totals["del"]) == (1, 0, 0)
 
+    def test_score_subcommand_ci(self, tmp_path, capsys):
+        ref = {f"u{i}": "aa bb cc dd" for i in range(12)}
+        hyp = dict(ref, u0="aa bb cc xx", u5="aa yy cc dd")
+        write_trn(str(tmp_path / "ref.trn"), ref)
+        write_trn(str(tmp_path / "hyp.trn"), hyp)
+        rc = cli_main(["score", "--ref", str(tmp_path / "ref.trn"),
+                       "--hyp", str(tmp_path / "hyp.trn"), "--unit", "word",
+                       "--ci"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "95% CI [" in out
+
 
 class TestEvaluateBeam:
     def test_evaluate_reports_beam_wer(self):
