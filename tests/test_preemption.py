@@ -82,3 +82,32 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     assert proc2.returncode == 0, proc2.stderr
     assert "DONE" in proc2.stdout
     assert "[ckpt] resumed at epoch" in proc2.stdout
+
+
+def test_npz_export_import_roundtrip(tmp_path):
+    """writeNumpyWeights parity (SURVEY C14): flat .npz export of the
+    param tree round-trips bitwise through import_npz."""
+    import jax
+    import numpy as np
+
+    from tpu_ctc.config import Config, ModelConfig
+    from tpu_ctc.train import checkpoint as ckpt_lib
+    from tpu_ctc.train.step import create_train_state
+
+    cfg = Config(model=ModelConfig(input_dim=12, hidden_dim=16,
+                                   num_pre_layers=1, num_bi_layers=2,
+                                   vocab_size=29))
+    state = create_train_state(cfg)
+    path = str(tmp_path / "w.npz")
+    n = ckpt_lib.export_npz(path, state.params)
+    assert n == len(jax.tree.leaves(state.params))
+    back = ckpt_lib.import_npz(path, state.params)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # wrong-shape template fails loudly
+    import dataclasses
+    import pytest
+    cfg2 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, hidden_dim=32))
+    with pytest.raises((ValueError, KeyError)):
+        ckpt_lib.import_npz(path, create_train_state(cfg2).params)

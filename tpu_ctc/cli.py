@@ -220,6 +220,25 @@ def cmd_score(args):
     return 0
 
 
+def cmd_export_weights(args):
+    """Export checkpoint params as a flat .npz (reference parity: the
+    ``writeNumpyWeights`` snapshot the decode drivers consumed)."""
+    from tpu_ctc.train import checkpoint as ckpt_lib
+    from tpu_ctc.train.step import create_train_state
+
+    cfg = _load_config(args)
+    state = create_train_state(cfg)
+    mgr = ckpt_lib.make_manager(args.checkpoint)
+    restored = ckpt_lib.restore(mgr, state)
+    if restored is None:
+        print(f"no checkpoint found in {args.checkpoint}", file=sys.stderr)
+        return 1
+    n = ckpt_lib.export_npz(args.out, restored[0].params)
+    print(f"wrote {n} arrays to {args.out} "
+          f"(step {int(restored[0].step)})")
+    return 0
+
+
 def cmd_print_config(args):
     cfg = _load_config(args)
     print(cfg.to_json(indent=2))
@@ -274,6 +293,11 @@ def main(argv=None):
     sc.add_argument("--ci", action="store_true",
                     help="bootstrap 95%% CI (utterance resampling)")
     sc.set_defaults(fn=cmd_score)
+
+    ew = sub.add_parser("export-weights", parents=[common])
+    ew.add_argument("--checkpoint", required=True)
+    ew.add_argument("--out", required=True, help=".npz output path")
+    ew.set_defaults(fn=cmd_export_weights)
 
     pc = sub.add_parser("print-config", parents=[common])
     pc.set_defaults(fn=cmd_print_config)

@@ -39,6 +39,39 @@ def save(manager: ocp.CheckpointManager, state: TrainState,
     manager.save(step, args=ocp.args.StandardSave(payload), force=force)
 
 
+def export_npz(path: str, params) -> int:
+    """Flat-key .npz export of a param pytree (the reference's
+    ``writeNumpyWeights`` role, SURVEY.md C14: portable weight snapshots
+    for decode-only consumers and interop, without orbax).  Keys are
+    '/'-joined tree paths; returns the number of arrays written."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in kp)
+        flat[key] = np.asarray(leaf)
+    np.savez(path, **flat)
+    return len(flat)
+
+
+def import_npz(path: str, template):
+    """Load an :func:`export_npz` file back into ``template``'s tree
+    structure (shapes/dtypes validated leaf by leaf)."""
+    data = np.load(path)
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for kp, leaf in paths:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in kp)
+        if key not in data:
+            raise KeyError(f"missing weight {key!r} in {path}")
+        arr = data[key]
+        if tuple(arr.shape) != tuple(leaf.shape):
+            raise ValueError(f"shape mismatch for {key!r}: file "
+                             f"{arr.shape} vs template {leaf.shape}")
+        leaves.append(arr.astype(leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def restore(manager: ocp.CheckpointManager, template: TrainState
             ) -> Optional[Tuple[TrainState, int, int]]:
     """Restore the latest checkpoint, or None if the directory is empty.
