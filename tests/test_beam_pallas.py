@@ -317,18 +317,95 @@ class TestNeuralLM:
 class TestSupported:
     def test_supported_gate(self):
         assert beam_pallas.supported(64, 32, 3)
-        assert not beam_pallas.supported(256, 32, 0)       # beam too wide
+        # K in (128, 256] runs the 2-bank wide kernel (r5)
+        assert beam_pallas.supported(200, 32, 3)
+        assert beam_pallas.supported(256, 32, 0)
+        assert not beam_pallas.supported(257, 32, 0)       # beam too wide
         assert not beam_pallas.supported(64, 100, 0)       # vocab too wide
         assert not beam_pallas.supported(64, 32, 4)        # LM order
         assert not beam_pallas.supported(64, 32, 0, nlm_params={})
         # char_topk runs in-kernel since r5 (VERDICT r4 #7)
         assert beam_pallas.supported(64, 32, 0, char_topk=8)
 
+    def test_neural_lm_stays_narrow(self):
+        import jax
+        from tpu_ctc.decode import neural_lm
+        p = neural_lm.init_params(
+            jax.random.PRNGKey(0),
+            neural_lm.CharRNNLMConfig(vocab_size=29, embed_dim=16,
+                                      hidden_dim=32))
+        assert beam_pallas.supported(128, 29, 0, nlm_params=p)
+        assert not beam_pallas.supported(200, 29, 0, nlm_params=p)
+
     def test_unsupported_raises(self, rng):
         lp, lens = _random_batch(rng, 1, 4, 4)
         with pytest.raises(ValueError):
-            beam_pallas.beam_search_pallas(lp, lens, beam_width=256,
+            beam_pallas.beam_search_pallas(lp, lens, beam_width=512,
                                            max_len=8)
+
+
+class TestWideBeam:
+    """K in (128, 256]: the 2-bank wide kernel (r5).  Parity with the
+    XLA search must be bit-exact, as for the narrow kernel."""
+
+    def _check(self, lp, lens, k, max_len=24, **kw):
+        hp, hl, sp = beam_pallas.beam_search_pallas(
+            lp, lens, beam_width=k, max_len=max_len, **kw)
+        xh, xl, xs = prefix_beam_search(lp, lens, beam_width=k,
+                                        max_len=max_len, **kw)
+        np.testing.assert_array_equal(np.asarray(sp), np.asarray(xs))
+        np.testing.assert_array_equal(np.asarray(hl), np.asarray(xl))
+        np.testing.assert_array_equal(np.asarray(hp), np.asarray(xh))
+
+    @pytest.mark.parametrize("k", [160, 256])
+    def test_no_lm(self, rng, k):
+        lp, lens = _random_batch(rng, 2, 14, 6)
+        self._check(lp, lens, k)
+
+    @pytest.mark.parametrize("order", [1, 2, 3])
+    def test_ngram_lm_orders(self, rng, order):
+        a = 8
+        lp, lens = _random_batch(rng, 2, 12, a)
+        seqs = [list(rng.randint(1, a, size=rng.randint(3, 12)))
+                for _ in range(50)]
+        lm = train_ngram_lm(seqs, vocab_size=a, order=order)
+        self._check(lp, lens, 160, lm_table=lm.tables_device(),
+                    lm_order=order, lm_alpha=0.7, lm_beta=0.3)
+
+    def test_vocab29_prune_topk(self, rng):
+        lp, lens = _random_batch(rng, 2, 15, 29)
+        self._check(lp, lens, 200, prune_logp=-9.0, char_topk=6)
+
+    def test_ties_and_binding_max_len(self):
+        # flat inputs with a binding hypothesis cap: tie-rich selection
+        for seed in range(3):
+            r = np.random.RandomState(300 + seed)
+            lp = jnp.asarray(np_log_softmax(
+                r.randn(2, 20, 6).astype(np.float32) * 0.3))
+            lens = jnp.asarray([20, 17], jnp.int32)
+            self._check(lp, lens, 160, max_len=4)
+
+    def test_beam_state_parity(self, rng):
+        """All 200 per-beam scores, position by position, over a longer
+        utterance — the strictest wide-kernel invariant."""
+        r = np.random.RandomState(9)
+        lp = jnp.asarray(np_log_softmax(
+            r.randn(2, 40, 29).astype(np.float32) * 2))
+        lens = jnp.asarray([40, 33], jnp.int32)
+        kb = beam_pallas.beam_search_pallas(
+            lp, lens, beam_width=200, max_len=48, return_beams=True)
+        xb = prefix_beam_search(lp, lens, beam_width=200, max_len=48,
+                                return_beams=True)
+        np.testing.assert_array_equal(np.asarray(kb[3]), np.asarray(xb[3]))
+        np.testing.assert_array_equal(np.asarray(kb[4]),
+                                      np.asarray(xb[4]).astype(np.float32))
+
+    def test_beam_exceeds_live_prefixes(self, rng):
+        # K=256 far above reachable prefixes: nothing may be dropped
+        lp, lens = _random_batch(rng, 2, 6, 4)
+        hyps, hlens, scores = beam_pallas.beam_search_pallas(
+            lp, lens, beam_width=256, max_len=8)
+        _assert_host_parity(lp, lens, hyps, hlens, scores, 256)
 
 
 class TestFallbackWarning:
@@ -344,7 +421,7 @@ class TestFallbackWarning:
 
         base = PRESETS["1"]
         cfg = dataclasses.replace(
-            base, decode=dataclasses.replace(base.decode, beam_width=256))
+            base, decode=dataclasses.replace(base.decode, beam_width=512))
         with caplog.at_level(logging.WARNING, logger="tpu_ctc.decode"):
             make_beam_decoder(cfg)
         assert any("falling back to" in r.message for r in caplog.records)

@@ -397,8 +397,9 @@ def make_beam_decoder(cfg, lm: Optional[NGramCharLM] = None,
     allows it and the kernel supports the configuration — one kernel
     program per 16-group block instead of T compiled frames (~9x on v5e
     at K=64; ~8x with a GRU char LM, whose per-beam state lives in the
-    kernel; char_topk/prune_logp run in-kernel).  Falls back to the XLA
-    scan decoder otherwise (K>128, vocab>64, LM order>3, GRU state over
+    kernel; char_topk/prune_logp run in-kernel; K in (128, 256] runs the
+    2-bank wide kernel).  Falls back to the XLA scan decoder otherwise
+    (K>256, vocab>64, LM order>3, neural LM at K>128, GRU state over
     the VMEM budget) — LOUDLY: the XLA neural search is ~8x slower with
     multi-minute compiles, so a genuine fallback logs a warning.  Note
     the fused neural path matches XLA hypotheses but scores carry

@@ -48,8 +48,11 @@ the algorithm:
 
 Scope: n-gram LM order <= 3, optional fused GRU neural char LM (dims
 zero-padded to sublane multiples; padded state slots provably stay 0),
-beam_width <= 128, any vocab <= 64 (the wrapper pads the vocab axis to
-a sublane multiple — Mosaic cannot compile unaligned [A, lane] layouts,
+beam_width <= 256 — K <= 128 on this lane-packed narrow kernel, K in
+(128, 256] on the 2-bank wide variant (:func:`_beam_kernel_wide`,
+covering the reference's canonical 100-200 widths; neural LMs stay
+<= 128) — any vocab <= 64 (the wrapper pads the vocab axis to a
+sublane multiple — Mosaic cannot compile unaligned [A, lane] layouts,
 which is why the default A=29 alphabet failed on hardware in round 3),
 exact search plus both reference pruning knobs: ``prune_logp`` acoustic
 masking and ``char_topk`` (per-frame admission bar precomputed outside,
@@ -173,7 +176,10 @@ def supported(beam_width: int, vocab: int, lm_order: int,
         # bounded by the [G, H, 128] state scratch.
         if _round8(e) > 128 or _round8(h) > 256:
             return False
-    return beam_width <= _LANE and vocab <= 64 and lm_order <= 3
+    # K <= 128 runs the lane-packed narrow kernel; K in (128, 256] the
+    # 2-bank wide kernel (n-gram LMs only — see _beam_kernel_wide).
+    return (beam_width <= (2 * _LANE if nlm_params is None else _LANE)
+            and vocab <= 64 and lm_order <= 3)
 
 
 def pack_factor(beam_width: int) -> int:
@@ -688,6 +694,420 @@ def _beam_kernel(lp_ref, len_ref, thr_ref, lm_ref, embt_ref, wx_ref, wh_ref,
             jnp.zeros((g, 5, _LANE), f32)], axis=1)
 
 
+def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, bp_ref, fin_ref,
+                      pb_s, pnb_s, plen_s, last_s, last2_s, h1_s, h2_s, *,
+                      g: int, k: int, a: int, nb: int, blank: int,
+                      max_len: int, lm_order: int, lm_alpha: float,
+                      lm_beta: float, prune_logp: Optional[float],
+                      topk: bool):
+    """Wide-beam variant: K in (128, 256] via NB=ceil(K/128) lane BANKS.
+
+    One utterance per lane-group (pack=1 — at K>128 nothing else fits),
+    each beam slot s = bank*128 + lane, per-beam state in [G, NB, KP]
+    scratches.  The candidate grid generalizes from A char-rows to
+    R = A*NB (char, parent-bank) rows, ordered row = char*NB + bank so
+    flat enumeration (row, lane) == the XLA search's (char, beam) order
+    — the whole integer-key threshold search and enumeration-order
+    range-mask compaction carry over with rows := R; per-group counts
+    are plain (row, lane) reductions (no packing block structure).
+    Cross-bank interactions — mate matching, mate payload folds, parent
+    payload picks — run as static NB x NB blocks of the narrow kernel's
+    [KP, KP] matmuls (beam search's intrinsic O(K^2) merge cost).
+    Neural LMs stay on the narrow kernel (K <= 128): per-beam GRU state
+    at K=256 would double the [G, H, KP] scratch against the same VMEM.
+    bp packs (parent_slot | (char+1) << 8) with parent_slot <= 255, so
+    :func:`_reconstruct` works unchanged on the [B, T, NB*KP] unpacking.
+    """
+    kp = _LANE
+    r = a * nb
+    gr = g * r
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    lane2 = jax.lax.broadcasted_iota(i32, (1, kp), 1)             # [1,KP]
+    bank_i = jax.lax.broadcasted_iota(i32, (1, nb, 1), 1)
+    lane3 = jax.lax.broadcasted_iota(i32, (1, nb, kp), 2)
+    slot_g3 = bank_i * kp + lane3                                 # [1,NB,KP]
+    live_b = slot_g3 < k
+    rowi = jax.lax.broadcasted_iota(i32, (gr, 1), 0) % r
+    crow = rowi // nb                                             # char
+    brow = rowi % nb                                              # parent bank
+
+    def rep(x):
+        """[G, NB, KP] per-beam -> [GR, KP] rows (row = char*NB + bank)."""
+        return jnp.broadcast_to(x[:, None, :, :], (g, a, nb, kp)
+                                ).reshape(gr, kp)
+
+    def rep_c(x):
+        """[G, A, KP] per-char -> [GR, KP] rows."""
+        return jnp.broadcast_to(x[:, :, None, :], (g, a, nb, kp)
+                                ).reshape(gr, kp)
+
+    def bcast_g(x):
+        """[G, KP] per-group -> [GR, KP] rows."""
+        return jnp.broadcast_to(x[:, None, :], (g, r, kp)).reshape(gr, kp)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        first = slot_g3 == 0
+        pb_s[:, :, :] = jnp.broadcast_to(
+            jnp.where(first, 0.0, NEG_INF), (g, nb, kp))
+        pnb_s[:, :, :] = jnp.full((g, nb, kp), NEG_INF)
+        plen_s[:, :, :] = jnp.zeros((g, nb, kp), f32)
+        last_s[:, :, :] = jnp.zeros((g, nb, kp), f32)
+        last2_s[:, :, :] = jnp.zeros((g, nb, kp), f32)
+        h1_s[:, :, :] = jnp.broadcast_to(
+            jnp.where(first, _H1_EMPTY, slot_g3 + 1), (g, nb, kp))
+        h2_s[:, :, :] = jnp.broadcast_to(
+            jnp.where(first, _H2_EMPTY, slot_g3 + 1), (g, nb, kp))
+
+    li = jax.lax.broadcasted_iota(i32, (kp, kp), 0)
+    lj = jax.lax.broadcasted_iota(i32, (kp, kp), 1)
+    tri_lane = (li <= lj).astype(f32)          # inclusive lane cumsum
+    m_last = (li == kp - 1).astype(f32)        # broadcast lane-127 value
+    gi = jax.lax.broadcasted_iota(i32, (gr, gr), 0)
+    gj = jax.lax.broadcasted_iota(i32, (gr, gr), 1)
+    tri_row_strict = (((gi // r) == (gj // r)) & (gi % r < gj % r)
+                      ).astype(f32)                               # [GR,GR]
+
+    len_vec = len_ref[:, :]                                       # [G,KP]
+    len_max = jnp.max(len_vec)
+    ti = pl.program_id(1)
+    ntp = pl.num_programs(1)
+    tc = lp_ref.shape[1]
+    rows_lm = lm_ref.shape[1]
+    lm_b = jnp.broadcast_to(lm_ref[:, :][None], (g, a, rows_lm))
+
+    def bdot(x, y, dims, precision=None):
+        return jax.lax.dot_general(
+            x, y, (dims, ((0,), (0,))), precision=precision,
+            preferred_element_type=f32)
+
+    def bytes_of(h):                                          # 4x[G,1,KP]
+        return [(jax.lax.shift_right_logical(h, sh) & 0xFF
+                 ).astype(f32)[:, None, :] for sh in (24, 16, 8, 0)]
+
+    def unbytes(rows):                                        # -> i32
+        b3, b2, b1, b0 = (rows[:, i, :].astype(i32) for i in range(4))
+        return (jax.lax.shift_left(b3, 24) | jax.lax.shift_left(b2, 16)
+                | jax.lax.shift_left(b1, 8) | b0)
+
+    def frame(i):
+        t = ti * tc + i
+        lp_c = lp_ref[:, pl.ds(i, 1), :, :].reshape(g, a, kp)     # [G,A,KP]
+        lp_row = rep_c(lp_c)                                      # [GR,KP]
+
+        pb, pnb = pb_s[:, :, :], pnb_s[:, :, :]                   # [G,NB,KP]
+        last_f, last2_f = last_s[:, :, :], last2_s[:, :, :]
+        plen = plen_s[:, :, :]
+        h1, h2 = h1_s[:, :, :], h2_s[:, :, :]
+        last_i = last_f.astype(i32)
+        total = _lse2(pb, pnb)
+
+        onehot_last = (crow == rep(last_f).astype(i32)
+                       ).astype(f32)                              # [GR,KP]
+        lp_at = jnp.sum((lp_row * onehot_last).reshape(g, a, nb, kp),
+                        axis=1)                                   # [G,NB,KP]
+        lp_blank = lp_c[:, blank, :][:, None, :]                  # [G,1,KP]
+        a_iota = jax.lax.broadcasted_iota(i32, (1, a, 1), 1)
+        oh_b = [(a_iota == last_i[:, mb, :][:, None, :]).astype(f32)
+                for mb in range(nb)]                              # [G,A,KP]
+
+        # ---- LM rows per context bank ---------------------------------
+        lm_rows_b = None
+        lm_row = None
+        if lm_order:
+            lm_rows_b = []
+            for mb in range(nb):
+                if lm_order == 1:
+                    row_b = jnp.broadcast_to(lm_ref[:, 0:1][None],
+                                             (g, a, kp))
+                elif lm_order == 2:
+                    row_b = bdot(lm_b, oh_b[mb], ((2,), (1,)),
+                                 precision=_HIGHEST)
+                else:
+                    ctx = last2_f[:, mb, :].astype(i32) * a + last_i[:, mb, :]
+                    c_iota = jax.lax.broadcasted_iota(i32, (1, a * a, 1), 1)
+                    ctx_oh = (c_iota == ctx[:, None, :]).astype(f32)
+                    row_b = bdot(lm_b, ctx_oh, ((2,), (1,)),
+                                 precision=_HIGHEST)
+                lm_rows_b.append(lm_alpha * row_b + lm_beta)      # [G,A,KP]
+            lm_row = jnp.stack(lm_rows_b, axis=2).reshape(gr, kp)
+
+        # ---- mate detection: NB x NB bank blocks ----------------------
+        ph1 = (h1 - last_i) * _H1_INV
+        ph2 = (h2 - last_i) * _H2_INV
+        has_parent = (plen > 0) & (total > NEG_INF / 2)
+        hp_f = has_parent.astype(f32)
+        match = [[((ph1[:, jb, :][:, :, None] == h1[:, mb, :][:, None, :])
+                   & (ph2[:, jb, :][:, :, None] == h2[:, mb, :][:, None, :])
+                   ).astype(f32) * hp_f[:, jb, :][:, :, None]
+                  for mb in range(nb)] for jb in range(nb)]       # [G,Kj,Km]
+        mate_pb_l, mate_tot_l, mate_last_l, has_mate_l = [], [], [], []
+        for jb in range(nb):
+            acc = None
+            hm = None
+            for mb in range(nb):
+                mate_in = jnp.concatenate(
+                    [pb[:, mb, :][:, None, :], total[:, mb, :][:, None, :],
+                     last_f[:, mb, :][:, None, :]], axis=1)             # [G,3,Km]
+                out = bdot(mate_in, match[jb][mb], ((2,), (2,)),
+                           precision=_HIGHEST)                    # [G,3,Kj]
+                acc = out if acc is None else acc + out
+                s = jnp.sum(match[jb][mb], axis=2)                # [G,Kj]
+                hm = s if hm is None else hm + s
+            mate_pb_l.append(acc[:, 0, :])
+            mate_tot_l.append(acc[:, 1, :])
+            mate_last_l.append(acc[:, 2, :])
+            has_mate_l.append(hm)
+        mate_pb = jnp.stack(mate_pb_l, axis=1)                    # [G,NB,KP]
+        mate_total = jnp.stack(mate_tot_l, axis=1)
+        mate_last = jnp.stack(mate_last_l, axis=1)
+        has_mate = jnp.stack(has_mate_l, axis=1) > 0
+        base_mate = jnp.where(mate_last == last_f, mate_pb, mate_total)
+        ext_from_mate = base_mate + lp_at                         # [G,NB,KP]
+        if lm_row is not None:
+            lmf = []
+            for jb in range(nb):
+                acc = None
+                for mb in range(nb):
+                    x = bdot(lm_rows_b[mb], match[jb][mb], ((2,), (2,)),
+                             precision=_HIGHEST)                  # [G,A,Kj]
+                    acc = x if acc is None else acc + x
+                lmf.append(jnp.sum(oh_b[jb] * acc, axis=1))       # [G,Kj]
+            ext_from_mate = ext_from_mate + jnp.stack(lmf, axis=1)
+        thr2 = None
+        if topk:
+            thr2 = thr_ref[:, pl.ds(i, 1), :].reshape(g, kp)      # [G,KP]
+        gate = has_mate
+        if topk:
+            gate = gate & (lp_at >= thr2[:, None, :])
+        if prune_logp is not None:
+            gate = gate & (lp_at >= prune_logp)
+        ext_from_mate = jnp.where(gate, ext_from_mate, NEG_INF)
+
+        # ---- candidate rows [GR, KP] ----------------------------------
+        stay_pb = total + lp_blank                                # [G,NB,KP]
+        stay_pnb = _lse2(jnp.where(plen > 0, pnb + lp_at, NEG_INF),
+                         ext_from_mate)
+        is_last_g = (onehot_last > 0) & (rep(plen) > 0)
+        base = jnp.where(is_last_g, rep(pb), rep(total))
+        ext = base + lp_row
+        if lm_row is not None:
+            ext = ext + lm_row
+        if topk:
+            ext = jnp.where(lp_row < bcast_g(thr2), NEG_INF, ext)
+        if prune_logp is not None:
+            ext = jnp.where(lp_row < prune_logp, NEG_INF, ext)
+        ext = jnp.where(rep(plen) >= max_len, NEG_INF, ext)
+        excl_b = []
+        for mb in range(nb):
+            acc = None
+            for jb in range(nb):
+                x = bdot(oh_b[jb], match[jb][mb], ((2,), (1,)))   # [G,A,Km]
+                acc = x if acc is None else acc + x
+            excl_b.append(acc)
+        excl = jnp.stack(excl_b, axis=2).reshape(gr, kp)
+        ext = jnp.where(excl > 0, NEG_INF, ext)
+        is_blank_row = crow == blank
+        stay_merged = _lse2(stay_pb, stay_pnb)                    # [G,NB,KP]
+        cand = jnp.where(is_blank_row, rep(stay_merged), ext)
+        cand = jnp.where(
+            rep(jnp.broadcast_to(live_b, (g, nb, kp))), cand, NEG_INF)
+
+        # ---- top-K: per-GROUP 8-ary threshold search (pack=1) ---------
+        kcand = _ordered_key(cand)                                # [GR,KP]
+        kc3 = kcand.reshape(g, r, kp)
+        finite = cand > NEG_INF / 2
+        fin3 = finite.reshape(g, r, kp)
+        khi0 = jnp.max(jnp.max(kc3, axis=2), axis=1,
+                       keepdims=True)                             # [G,1]
+        khi0_b = jnp.broadcast_to(khi0, (g, kp))
+        stay_rows = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(i32, (1, r, 1), 1) // nb == blank,
+            (g, r, kp))
+        stay_fin = fin3 & stay_rows
+        n_stay = jnp.sum(jnp.sum(stay_fin.astype(f32), axis=2), axis=1,
+                         keepdims=True)                           # [G,1]
+        min_stay = jnp.min(jnp.min(
+            jnp.where(stay_fin, kc3, khi0[:, :, None]), axis=2), axis=1,
+            keepdims=True)                                        # [G,1]
+        min_fin = jnp.min(jnp.min(
+            jnp.where(fin3, kc3, khi0[:, :, None]), axis=2), axis=1,
+            keepdims=True)
+        kf = jnp.float32(k)
+        lo = jnp.where(jnp.broadcast_to(n_stay >= kf, (g, kp)),
+                       jnp.broadcast_to(min_stay, (g, kp)),
+                       jnp.broadcast_to(min_fin, (g, kp))) - 1
+        hi = khi0_b + 1
+        n_edge = _BISECT_ARITY - 1
+        edge_iota = jax.lax.broadcasted_iota(i32, (n_edge, 1, 1), 0) + 1
+        for _ in range(_BISECT_ITERS):
+            w = jnp.maximum(jax.lax.shift_right_arithmetic(hi, 3)
+                            - jax.lax.shift_right_arithmetic(lo, 3), 1)
+            e7 = lo[None] + w[None] * edge_iota                   # [7,G,KP]
+            ge = jnp.stack(
+                [jnp.sum((kc3 >= e7[j][:, None, :]).astype(f32), axis=1)
+                 for j in range(n_edge)], axis=0)                 # [7,G,KP]
+            cnt = jnp.broadcast_to(
+                jnp.sum(ge, axis=2, keepdims=True), (n_edge, g, kp))
+            ok = cnt >= kf
+            lo = jnp.max(jnp.where(ok, e7, lo[None]), axis=0)
+            hi = jnp.min(jnp.where(ok, hi[None], e7), axis=0)
+
+        tf = (kcand >= bcast_g(hi)).astype(f32)
+        mf = ((kcand >= bcast_g(lo)) & (kcand < bcast_g(hi))
+              & finite).astype(f32)
+        cum2 = jnp.dot(
+            jnp.concatenate([tf.reshape(g, r, kp), mf.reshape(g, r, kp)],
+                            axis=1).reshape(2 * gr, kp),
+            tri_lane, preferred_element_type=f32)                 # [2GR,KP]
+        tot2 = jnp.dot(cum2, m_last, preferred_element_type=f32)
+        cum23 = cum2.reshape(g, 2 * r, kp)
+        tot23 = tot2.reshape(g, 2 * r, kp)
+        m_cum = cum23[:, r:, :].reshape(gr, kp)
+        t_tot = tot23[:, :r, :].reshape(gr, kp)
+        m_tot = tot23[:, r:, :].reshape(gr, kp)
+        off2 = jax.lax.dot_general(
+            tri_row_strict, jnp.concatenate([t_tot, m_tot], axis=1),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32) # [GR,2KP]
+        t_off, m_off = off2[:, :kp], off2[:, kp:]
+        n_top = (t_off.reshape(g, r, kp)[:, r - 1, :]
+                 + t_tot.reshape(g, r, kp)[:, r - 1, :])          # [G,KP]
+        m_rank = m_off + m_cum
+        msel = mf * (m_rank <= bcast_g(kf - n_top)).astype(f32)
+        sf = tf + msel                                            # [GR,KP]
+        cum_s = jnp.dot(sf, tri_lane, preferred_element_type=f32)
+        tot_s = jnp.dot(cum_s, m_last, preferred_element_type=f32)
+        off_s = jax.lax.dot_general(
+            tri_row_strict, tot_s, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                           # [GR,KP]
+
+        # ---- per-slot-bank compaction + state rebuild -----------------
+        active_l = t < len_vec                                    # [G,KP]
+        slot_f = lane2.astype(f32)                                # [1,KP]
+        crow_f = crow.astype(f32)
+        brow_f = brow.astype(f32)
+        cand3 = cand.reshape(g, r, kp)
+        cs3 = cum_s.reshape(g, r, kp)
+        sf3 = sf.reshape(g, r, kp)
+        nb_pb, nb_pnb, nb_plen = [], [], []
+        nb_last, nb_last2, nb_h1, nb_h2 = [], [], [], []
+        for sb in range(nb):
+            gslot = slot_f + sb * kp                              # [1,KP] f32
+            gslot_i = jnp.broadcast_to(lane2 + sb * kp, (g, kp))
+            c_sel = ((gslot >= off_s) & (gslot < off_s + tot_s)
+                     ).astype(f32)                                # [GR,KP]
+            c3 = c_sel.reshape(g, r, kp)
+            n_csum = jnp.sum(c3, axis=1)                          # [G,KP]
+            live_slot = (n_csum > 0) & (gslot_i < k)
+            char_slot = jnp.sum((c_sel * crow_f).reshape(g, r, kp), axis=1)
+            pbank = jnp.sum((c_sel * brow_f).reshape(g, r, kp), axis=1)
+            base_s = jnp.sum((c_sel * off_s).reshape(g, r, kp), axis=1)
+            rank_s = (jnp.broadcast_to(gslot, (g, kp)) - base_s)[:, :, None]
+            gs = bdot(c3, jnp.concatenate([cs3, sf3], axis=2),
+                      ((1,), (1,)))                               # [G,KP,2KP]
+            cand_g = bdot(c3, cand3, ((1,), (1,)),
+                          precision=_HIGHEST)                     # [G,KP,KP]
+            rc_sel = gs[:, :, :kp]
+            mm_sel = gs[:, :, kp:]
+            oh3 = mm_sel * (rc_sel - 1.0 == rank_s).astype(f32)
+            cand_val = jnp.sum(oh3 * cand_g, axis=2)              # [G,KP]
+            pick_hi = None
+            pick_lo = None
+            for ob in range(nb):
+                is_ob = jnp.sum(
+                    (c_sel * (brow == ob).astype(f32)).reshape(g, r, kp),
+                    axis=1)                                       # [G,KPs]
+                oh3_ob = oh3 * is_ob[:, :, None]
+                hi_stack = jnp.concatenate(
+                    [stay_pb[:, ob, :][:, None, :], stay_pnb[:, ob, :][:, None, :],
+                     plen[:, ob, :][:, None, :]], axis=1)               # [G,3,KPo]
+                ho = bdot(hi_stack, oh3_ob, ((2,), (2,)),
+                          precision=_HIGHEST)
+                lo_stack = jnp.concatenate(
+                    [last_f[:, ob, :][:, None, :], last2_f[:, ob, :][:, None, :],
+                     jnp.broadcast_to(slot_f[None], (g, 1, kp))]
+                    + bytes_of(h1[:, ob, :]) + bytes_of(h2[:, ob, :]),
+                    axis=1)                                       # [G,11,KPo]
+                lo_out = bdot(lo_stack, oh3_ob, ((2,), (2,)))
+                pick_hi = ho if pick_hi is None else pick_hi + ho
+                pick_lo = lo_out if pick_lo is None else pick_lo + lo_out
+            p_stay_pb, p_stay_pnb = pick_hi[:, 0, :], pick_hi[:, 1, :]
+            p_plen = pick_hi[:, 2, :]
+            p_last, p_last2 = pick_lo[:, 0, :], pick_lo[:, 1, :]
+            parent_slot = pick_lo[:, 2, :] + pbank * kp           # [G,KP] f32
+            p_h1 = unbytes(pick_lo[:, 3:7, :])
+            p_h2 = unbytes(pick_lo[:, 7:11, :])
+
+            sel_is_stay = char_slot == float(blank)
+            n_pb = jnp.where(live_slot & sel_is_stay, p_stay_pb, NEG_INF)
+            n_pnb = jnp.where(live_slot,
+                              jnp.where(sel_is_stay, p_stay_pnb, cand_val),
+                              NEG_INF)
+            extend = live_slot & ~sel_is_stay
+            echar = jnp.where(extend, char_slot, 0.0)
+            n_plen = p_plen + extend.astype(f32)
+            n_last = jnp.where(extend, char_slot, p_last)
+            n_last2 = jnp.where(extend, p_last, p_last2)
+            ec_i = echar.astype(i32)
+            n_h1 = jnp.where(extend, p_h1 * _H1_MULT + ec_i, p_h1)
+            n_h2 = jnp.where(extend, p_h2 * _H2_MULT + ec_i, p_h2)
+            n_h1 = jnp.where(live_slot, n_h1, gslot_i + 1)
+            n_h2 = jnp.where(live_slot, n_h2, gslot_i + 1)
+
+            packed = (parent_slot.astype(i32)
+                      + jnp.where(extend, (ec_i + 1) * 256, 0))
+            bp_ref[:, pl.ds(i, 1), pl.ds(sb, 1), :] = jnp.where(
+                active_l, packed, gslot_i)[:, None, None, :]
+
+            # per-bank new state; stacked stores happen after the loop
+            # (int-indexed ref stores would lower to scatter)
+            nb_pb.append(jnp.where(active_l, n_pb, pb[:, sb, :]))
+            nb_pnb.append(jnp.where(active_l, n_pnb, pnb[:, sb, :]))
+            nb_plen.append(jnp.where(active_l, n_plen, plen[:, sb, :]))
+            nb_last.append(jnp.where(active_l, n_last, last_f[:, sb, :]))
+            nb_last2.append(jnp.where(active_l, n_last2,
+                                      last2_f[:, sb, :]))
+            nb_h1.append(jnp.where(active_l, n_h1, h1[:, sb, :]))
+            nb_h2.append(jnp.where(active_l, n_h2, h2[:, sb, :]))
+
+        def stack_b(lst):
+            return jnp.concatenate([x[:, None, :] for x in lst], axis=1)
+
+        pb_s[:, :, :] = stack_b(nb_pb)
+        pnb_s[:, :, :] = stack_b(nb_pnb)
+        plen_s[:, :, :] = stack_b(nb_plen)
+        last_s[:, :, :] = stack_b(nb_last)
+        last2_s[:, :, :] = stack_b(nb_last2)
+        h1_s[:, :, :] = stack_b(nb_h1)
+        h2_s[:, :, :] = stack_b(nb_h2)
+
+    def body(i, _):
+        active_any = ti * tc + i < len_max
+
+        @pl.when(active_any)
+        def _():
+            frame(i)
+
+        @pl.when(jnp.logical_not(active_any))
+        def _():
+            for sb in range(nb):
+                bp_ref[:, pl.ds(i, 1), pl.ds(sb, 1), :] = jnp.broadcast_to(
+                    lane2 + sb * kp, (g, kp))[:, None, None, :]
+
+        return 0
+
+    jax.lax.fori_loop(0, tc, body, 0)
+
+    @pl.when(ti == ntp - 1)
+    def _():
+        fin_ref[:, :, :, :] = jnp.concatenate([
+            pb_s[:, :, :][:, None], pnb_s[:, :, :][:, None],
+            plen_s[:, :, :][:, None],
+            jnp.zeros((g, 5, nb, _LANE), jnp.float32)], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Host-side wrapper: kernel launch + path reconstruction
 # ---------------------------------------------------------------------------
@@ -795,7 +1215,10 @@ def beam_search_pallas(log_probs: jnp.ndarray,
     while g_blk > 1 and g_blk * (tc * a * _LANE * 4 + tc * _LANE * 4
                                  ) * 2 > 48 * 1024 * 1024:
         g_blk -= 1
-    g_blk = min(g_blk, 16)
+    wide = k > _LANE
+    nb_banks = -(-k // _LANE)
+    # wide kernel: row tensors are NB x larger — halve the sublane batch
+    g_blk = min(g_blk, 8 if wide else 16)
     n_blk = -(-groups // g_blk)
     g_pad = n_blk * g_blk
     t_pad = -(-t_total // tc) * tc
@@ -863,56 +1286,104 @@ def beam_search_pallas(log_probs: jnp.ndarray,
         wo_in = jnp.zeros((a, h_dim), f32)
         nb_in = jnp.zeros((3 * h_dim + a + h_dim, 1), f32)
 
-    kernel = functools.partial(
-        _beam_kernel, g=g_blk, k=k, a=a, blank=blank, t_total=t_pad,
-        max_len=max_len, lm_order=lm_order if lm_table is not None else 0,
-        lm_alpha=lm_alpha, lm_beta=lm_beta, prune_logp=prune_logp,
-        pack=pack, nlm=nlm_params is not None, e_dim=e_dim, h_dim=h_dim,
-        topk=use_topk)
-
     def shared(shape):
         return pl.BlockSpec(shape, lambda i, t: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    bp, fin = pl.pallas_call(
-        kernel,
-        grid=(n_blk, nt),
-        in_specs=[
-            pl.BlockSpec((g_blk, tc, a, _LANE), lambda i, t: (i, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_blk, _LANE), lambda i, t: (i, 0),
-                         memory_space=pltpu.VMEM),
-            thr_spec,
-            shared((a, rows)),
-            shared((e_dim, a)),
-            shared((3 * h_dim, e_dim)),
-            shared((3 * h_dim, h_dim)),
-            shared((a, h_dim)),
-            shared((3 * h_dim + a + h_dim, 1)),
-        ],
-        out_specs=[
-            pl.BlockSpec((g_blk, tc, _LANE), lambda i, t: (i, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_blk, 8, _LANE), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((g_pad, t_pad, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct((g_pad, 8, _LANE), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((g_blk, _LANE), jnp.float32)
-                        for _ in range(5)]
-        + [pltpu.VMEM((g_blk, _LANE), jnp.int32) for _ in range(2)]
-        + [pltpu.VMEM((g_blk, h_dim, _LANE), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=_interpret(),
-    )(lp_t, len_tile, thr_t, lm_in, embt, wx_in, wh_in, wo_in, nb_in)
+    if wide:
+        kernel = functools.partial(
+            _beam_kernel_wide, g=g_blk, k=k, a=a, nb=nb_banks, blank=blank,
+            max_len=max_len,
+            lm_order=lm_order if lm_table is not None else 0,
+            lm_alpha=lm_alpha, lm_beta=lm_beta, prune_logp=prune_logp,
+            topk=use_topk)
+        bp, fin = pl.pallas_call(
+            kernel,
+            grid=(n_blk, nt),
+            in_specs=[
+                pl.BlockSpec((g_blk, tc, a, _LANE),
+                             lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_blk, _LANE), lambda i, t: (i, 0),
+                             memory_space=pltpu.VMEM),
+                thr_spec,
+                shared((a, rows)),
+            ],
+            out_specs=[
+                pl.BlockSpec((g_blk, tc, nb_banks, _LANE),
+                             lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_blk, 8, nb_banks, _LANE),
+                             lambda i, t: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((g_pad, t_pad, nb_banks, _LANE),
+                                     jnp.int32),
+                jax.ShapeDtypeStruct((g_pad, 8, nb_banks, _LANE),
+                                     jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((g_blk, nb_banks, _LANE),
+                                       jnp.float32) for _ in range(5)]
+            + [pltpu.VMEM((g_blk, nb_banks, _LANE), jnp.int32)
+               for _ in range(2)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=_interpret(),
+        )(lp_t, len_tile, thr_t, lm_in)
+        # beam slot s = bank*128 + lane: row-major (bank, lane) reshape
+        kq = nb_banks * _LANE
+        bp = bp[:groups, :t_total].reshape(groups, t_total, kq)[:b]
+        fin = fin[:groups].reshape(groups, 8, kq)[:b]
+    else:
+        kernel = functools.partial(
+            _beam_kernel, g=g_blk, k=k, a=a, blank=blank, t_total=t_pad,
+            max_len=max_len,
+            lm_order=lm_order if lm_table is not None else 0,
+            lm_alpha=lm_alpha, lm_beta=lm_beta, prune_logp=prune_logp,
+            pack=pack, nlm=nlm_params is not None, e_dim=e_dim,
+            h_dim=h_dim, topk=use_topk)
+        bp, fin = pl.pallas_call(
+            kernel,
+            grid=(n_blk, nt),
+            in_specs=[
+                pl.BlockSpec((g_blk, tc, a, _LANE),
+                             lambda i, t: (i, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_blk, _LANE), lambda i, t: (i, 0),
+                             memory_space=pltpu.VMEM),
+                thr_spec,
+                shared((a, rows)),
+                shared((e_dim, a)),
+                shared((3 * h_dim, e_dim)),
+                shared((3 * h_dim, h_dim)),
+                shared((a, h_dim)),
+                shared((3 * h_dim + a + h_dim, 1)),
+            ],
+            out_specs=[
+                pl.BlockSpec((g_blk, tc, _LANE), lambda i, t: (i, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_blk, 8, _LANE), lambda i, t: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((g_pad, t_pad, _LANE), jnp.int32),
+                jax.ShapeDtypeStruct((g_pad, 8, _LANE), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((g_blk, _LANE), jnp.float32)
+                            for _ in range(5)]
+            + [pltpu.VMEM((g_blk, _LANE), jnp.int32) for _ in range(2)]
+            + [pltpu.VMEM((g_blk, h_dim, _LANE), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=_interpret(),
+        )(lp_t, len_tile, thr_t, lm_in, embt, wx_in, wh_in, wo_in, nb_in)
 
-    # unpack lane-groups back to per-utterance [B, ...] tensors
-    bp = (bp[:groups, :t_total].reshape(groups, t_total, pack, kq)
-          .transpose(0, 2, 1, 3).reshape(b_pad, t_total, kq)[:b])
-    fin = (fin[:groups].reshape(groups, 8, pack, kq).transpose(0, 2, 1, 3)
-           .reshape(b_pad, 8, kq)[:b])
+        # unpack lane-groups back to per-utterance [B, ...] tensors
+        bp = (bp[:groups, :t_total].reshape(groups, t_total, pack, kq)
+              .transpose(0, 2, 1, 3).reshape(b_pad, t_total, kq)[:b])
+        fin = (fin[:groups].reshape(groups, 8, pack, kq)
+               .transpose(0, 2, 1, 3).reshape(b_pad, 8, kq)[:b])
     pb, pnb, plen = fin[:, 0, :], fin[:, 1, :], fin[:, 2, :]      # [B,KQ]
     score = _lse2(pb, pnb)
     best = jnp.argmax(score, axis=1)
