@@ -41,17 +41,24 @@ def main(batch=32, t_frames=400, vocab=29, beam=64, max_len=128):
     lm = train_ngram_lm(seqs, vocab, order=3)
 
     failures = 0
-    for label, kw in [
-        ("no-LM", {}),
-        ("3-gram LM", dict(lm_table=lm.tables_device(), lm_order=3,
-                           lm_alpha=0.8, lm_beta=0.5)),
+    # wide-kernel row decodes a SHORT slice (the XLA oracle at K=200 is
+    # ~0.45 s/frame-batch; 60 frames keep the smoke under a minute)
+    lp_w, lens_w = lp[:8, :60], jnp.minimum(lens[:8], 60)
+    for label, kb, (xlp, xlens), kw in [
+        ("no-LM", beam, (lp, lens), {}),
+        ("3-gram LM", beam, (lp, lens),
+         dict(lm_table=lm.tables_device(), lm_order=3,
+              lm_alpha=0.8, lm_beta=0.5)),
+        ("wide K=200 3-gram", 200, (lp_w, lens_w),
+         dict(lm_table=lm.tables_device(), lm_order=3,
+              lm_alpha=0.8, lm_beta=0.5)),
     ]:
         t0 = time.time()
-        hp, hl, sp = beam_search_pallas(lp, lens, beam_width=beam,
+        hp, hl, sp = beam_search_pallas(xlp, xlens, beam_width=kb,
                                         max_len=max_len, **kw)
         jax.block_until_ready(hp)
         t_pallas = time.time() - t0
-        hx, xl, sx = prefix_beam_search(lp, lens, beam_width=beam,
+        hx, xl, sx = prefix_beam_search(xlp, xlens, beam_width=kb,
                                         max_len=max_len, **kw)
         jax.block_until_ready(hx)
         score_diff = float(jnp.max(jnp.abs(sp - sx)))
