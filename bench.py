@@ -107,17 +107,17 @@ def bench_tpu_decode(batch=32, t_frames=400, vocab=29, beam=64, iters=10):
     lens = jnp.full((batch,), t_frames, jnp.int32)
     audio_s = batch * t_frames / FRAMES_PER_SECOND
 
-    def run(fn, label):
+    def run(fn, label, audio=audio_s, n_iters=iters):
         out = fn()
         jax.block_until_ready(out[0])
         _ = float(out[2][0])            # true sync (see module docstring)
         t0 = time.time()
-        for _ in range(iters):
+        for _ in range(n_iters):
             out = fn()
         jax.block_until_ready(out[0])
         _ = float(out[2][0])
-        dt = (time.time() - t0) / iters
-        thr = audio_s / dt
+        dt = (time.time() - t0) / n_iters
+        thr = audio / dt
         log(f"[bench] {label}: {dt*1e3:.1f} ms/batch -> {thr:.0f} audio-s/s")
         return thr
 
@@ -138,20 +138,12 @@ def bench_tpu_decode(batch=32, t_frames=400, vocab=29, beam=64, iters=10):
     lens4 = jnp.full((64,), 1600, jnp.int32)
     audio4 = 64 * 1600 / FRAMES_PER_SECOND
 
-    def run4():
-        return beam_search_pallas(lp4, lens4, beam_width=128, max_len=256,
-                                  lm_table=lm.tables_device(), lm_order=3,
-                                  lm_alpha=1.25, lm_beta=1.5)
-    out = run4()
-    jax.block_until_ready(out[0])
-    _ = float(out[2][0])
-    t0 = time.time()
-    for _ in range(5):
-        out = run4()
-    _ = float(out[2][0])
-    p4_thr = audio4 / ((time.time() - t0) / 5)
-    log(f"[bench] decode preset4 (B=64/T=1600/K=128/trigram): "
-        f"{(time.time()-t0)/5*1e3:.1f} ms/batch -> {p4_thr:.0f} audio-s/s")
+    p4_thr = run(lambda: beam_search_pallas(
+        lp4, lens4, beam_width=128, max_len=256,
+        lm_table=lm.tables_device(), lm_order=3,
+        lm_alpha=1.25, lm_beta=1.5),
+        "decode preset4 (B=64/T=1600/K=128/trigram)",
+        audio=audio4, n_iters=5)
 
     # The NAACL'15 headline path: GRU char LM fused in-kernel (per-beam
     # state in VMEM).  The XLA neural search (~850 audio-s/s, >4 min

@@ -157,8 +157,10 @@ def main(argv=None):
     if not records:
         print("no records found", file=sys.stderr)
         return 1
-    # deterministic split by utterance-id hash
-    if args.val_frac > 0:
+    # deterministic split by utterance-id hash (a bare --dev-frac takes
+    # this branch too — it used to be silently ignored without
+    # --val-frac)
+    if args.val_frac > 0 or args.dev_frac > 0:
         import hashlib
         val, dev, train = [], [], []
         v_bar = args.val_frac * 10000
@@ -167,12 +169,14 @@ def main(argv=None):
             h = int(hashlib.md5(r["id"].encode()).hexdigest()[:8], 16) % 10000
             (val if h < v_bar else dev if h < d_bar else train).append(r)
         write_manifest(args.out, args.split, train)
-        write_manifest(args.out, "valid", val)
+        parts = [f"wrote {len(train)} train"]
+        if args.val_frac > 0:
+            write_manifest(args.out, "valid", val)
+            parts.append(f"{len(val)} valid")
         if args.dev_frac > 0:
             write_manifest(args.out, "dev", dev)
-        print(f"wrote {len(train)} train / {len(val)} valid"
-              + (f" / {len(dev)} dev" if args.dev_frac > 0 else "")
-              + " records")
+            parts.append(f"{len(dev)} dev")
+        print(" / ".join(parts) + " records")
     else:
         write_manifest(args.out, args.split, records)
         print(f"wrote {len(records)} {args.split} records")

@@ -80,13 +80,13 @@ def main(argv=None):
         nlm_params = train_nlm_from_data(lm_data, cfg)
 
     # ---- posteriors once, cached host-side -----------------------------
+    from tpu_ctc.cli import _utt_ids
+
     mesh = make_mesh(cfg.mesh)
     loader = BucketedLoader(data, cfg.data)
     fwd = jax.jit(lambda p, f, m: birnn.log_posteriors(p, cfg.model, f, m))
     cached = []          # (log_probs np [B,T,A], lens, ref dict rows)
-    records = getattr(data, "records", None)
-    ids = ([r["id"] for r in records] if records is not None
-           else [f"utt{i:05d}" for i in range(len(data))])
+    ids = _utt_ids(data)
     refs = {}
     with mesh:
         for _, batch in loader.epoch(0):
@@ -106,6 +106,18 @@ def main(argv=None):
         f"in {len(cached)} batches")
 
     k = cfg.decode.beam_width
+    # same routing as cli decode: fused kernel when supported, XLA scan
+    # fallback otherwise (a kernel-unsupported config must sweep, not
+    # crash after the posteriors are already cached)
+    use_kernel = (getattr(cfg.decode, "use_fused_kernel", True)
+                  and beam_pallas.supported(
+                      k, cfg.model.vocab_size, lm_order,
+                      nlm_params=nlm_params,
+                      char_topk=cfg.decode.char_topk))
+    if not use_kernel:
+        from tpu_ctc.decode.beam import prefix_beam_search
+        log("[sweep] fused kernel unsupported for this config — using "
+            "the XLA scan search (slower per grid point)")
     results = []
     alphas = [float(x) for x in args.alphas.split(",")]
     betas = [float(x) for x in args.betas.split(",")]
@@ -114,7 +126,9 @@ def main(argv=None):
             hyps = {}
             for lp, lens, l_pad, utts in cached:
                 max_len = min(int(l_pad) * 2 + 16, lp.shape[1])
-                hyp, hlen, _ = beam_pallas.beam_search_pallas(
+                search = (beam_pallas.beam_search_pallas if use_kernel
+                          else prefix_beam_search)
+                hyp, hlen, _ = search(
                     jnp.asarray(lp), jnp.asarray(lens), beam_width=k,
                     max_len=max_len, lm_table=lm_table, lm_order=lm_order,
                     lm_alpha=alpha, lm_beta=beta,

@@ -150,7 +150,8 @@ def main():
                 x, l, beam_width=args.beam, max_len=args.max_len,
                 nlm_params=nlm_params, **lm_kw),
             "xla search")
-    dev_thr = audio_s / (ker_s if ker_s is not None else dev_s)
+    best_s = ker_s if ker_s is not None else dev_s
+    dev_thr = audio_s / best_s if best_s is not None else None
 
     if nlm_params is not None and beam_pallas.supported(
             args.beam, args.vocab, lm_order, nlm_params=nlm_params,
@@ -163,7 +164,7 @@ def main():
         if dev_s is not None:
             log(f"[decode-bench] fused neural kernel is {dev_s/fk_s:.1f}x "
                 "the XLA search")
-        dev_thr = max(dev_thr, audio_s / fk_s)
+        dev_thr = max(dev_thr or 0.0, audio_s / fk_s)
 
     n = min(args.host_utts, args.batch)
     cpp_thr = None
@@ -192,7 +193,7 @@ def main():
 
     out = {
         "metric": "decode_throughput",
-        "value": round(dev_thr, 1),
+        "value": round(dev_thr, 1) if dev_thr is not None else None,
         "unit": "audio_seconds_per_second_per_chip",
         "vs_baseline": round(dev_thr / cpp_thr, 2) if cpp_thr else None,
     }

@@ -156,9 +156,18 @@ def paired_bootstrap(refs: dict, hyps_a: dict, hyps_b: dict,
     spread.  Returns (mean_diff, lo, hi, p_b_better) where p_b_better is
     the fraction of resamples with WER(B) < WER(A).
     """
+    # coverage must be symmetric: an utterance missing from only one
+    # system would be scored as all-deletions for it, silently biasing
+    # the paired diff
+    miss_a = {u for u in refs if not hyps_a.get(u)}
+    miss_b = {u for u in refs if not hyps_b.get(u)}
+    if miss_a != miss_b:
+        raise ValueError(
+            f"asymmetric hypothesis coverage: {len(miss_a ^ miss_b)} "
+            "utterances present in only one system "
+            f"(e.g. {sorted(miss_a ^ miss_b)[:3]})")
     errs_a, toks = _per_utt_counts(refs, hyps_a, unit)
-    errs_b, toks_b = _per_utt_counts(refs, hyps_b, unit)
-    assert (toks == toks_b).all(), "ref token mismatch between systems"
+    errs_b, _ = _per_utt_counts(refs, hyps_b, unit)
     n = len(toks)
     rng = np.random.RandomState(seed)
     idx = rng.randint(0, n, size=(n_boot, n))

@@ -1163,6 +1163,15 @@ def beam_search_pallas(log_probs: jnp.ndarray,
     (returns hyps [B, max_len], lengths [B], scores [B]); same math, one
     kernel program per block of 16 sublane-batched 128//K-utterance
     lane-groups instead of T compiled frames per utterance.
+
+    ``char_topk`` caveat (the one non-bit-exact corner): admission is by
+    THRESHOLD (log-prob >= the C-th largest), so when several chars tie
+    EXACTLY at the admission bar the kernel admits all of them while the
+    XLA path's ``top_k`` keeps the C lowest-indexed.  Both are valid
+    top-C pruning; they only differ on bit-identical log-probs at
+    exactly the C-th rank (possible on untrained/saturated posteriors,
+    never observed on trained models).  All other knobs — any K <= 256,
+    LMs, prune_logp, ties at the BEAM boundary — are bit-exact.
     """
     b, t_total, a_in = log_probs.shape
     k = beam_width
