@@ -156,3 +156,57 @@ def test_mesh_decode_neural_lm_matches_single_device(rng):
         h8, l8 = d8(params, bd)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h8))
+
+
+def test_mesh_decode_honors_pruning_knobs(rng):
+    """char_topk/prune_logp must flow into the collective search (they
+    were silently dropped before r5) — sharded equals single-device,
+    and both differ from the exact (no-pruning) decode on inputs where
+    aggressive pruning bites."""
+    import dataclasses
+
+    cfg, params, bd = setup(rng)
+    cfg = dataclasses.replace(
+        cfg, decode=dataclasses.replace(cfg.decode, beam_width=8,
+                                        char_topk=2, prune_logp=-3.0))
+    single = mesh_lib.make_mesh(MeshConfig(data=1, model=1, seq=1),
+                                devices=jax.devices()[:1])
+    full = mesh_lib.make_mesh(MeshConfig(data=-1, model=1, seq=1))
+    with single:
+        h1, l1 = make_collective_decoder(cfg, single, use_beam=True,
+                                         max_len=24)(params, bd)
+    with full:
+        h8, l8 = make_collective_decoder(cfg, full, use_beam=True,
+                                         max_len=24)(params, bd)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h8))
+    # the knobs are live: exact decode differs somewhere on these inputs
+    cfg0 = dataclasses.replace(
+        cfg, decode=dataclasses.replace(cfg.decode, char_topk=0,
+                                        prune_logp=None))
+    with single:
+        h0, l0 = make_collective_decoder(cfg0, single, use_beam=True,
+                                         max_len=24)(params, bd)
+    assert not (np.array_equal(np.asarray(h0), np.asarray(h1))
+                and np.array_equal(np.asarray(l0), np.asarray(l1)))
+
+
+def test_mesh_decode_wide_beam_matches_single_device(rng):
+    """K=160 routes the collective search through the 2-bank wide
+    kernel; sharded must equal single-device."""
+    import dataclasses
+
+    cfg, params, bd = setup(rng)
+    cfg = dataclasses.replace(
+        cfg, decode=dataclasses.replace(cfg.decode, beam_width=160))
+    single = mesh_lib.make_mesh(MeshConfig(data=1, model=1, seq=1),
+                                devices=jax.devices()[:1])
+    full = mesh_lib.make_mesh(MeshConfig(data=-1, model=1, seq=1))
+    with single:
+        h1, l1 = make_collective_decoder(cfg, single, use_beam=True,
+                                         max_len=24)(params, bd)
+    with full:
+        h8, l8 = make_collective_decoder(cfg, full, use_beam=True,
+                                         max_len=24)(params, bd)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h8))

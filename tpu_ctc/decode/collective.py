@@ -137,14 +137,16 @@ def make_collective_decoder(cfg: Config, mesh: Mesh,
                 beam_width=cfg.decode.beam_width, max_len=max_len,
                 lm_table=lm_table, lm_order=lm_order,
                 lm_alpha=cfg.decode.lm_alpha, lm_beta=cfg.decode.lm_beta,
-                prune_logp=cfg.decode.prune_logp, nlm_params=nlm_params)
+                prune_logp=cfg.decode.prune_logp,
+                char_topk=cfg.decode.char_topk, nlm_params=nlm_params)
         else:
             hyps, lens, _ = prefix_beam_search(
                 log_probs, frame_lengths,
                 beam_width=cfg.decode.beam_width, max_len=max_len,
                 lm_table=lm_table, lm_order=lm_order,
                 lm_alpha=cfg.decode.lm_alpha, lm_beta=cfg.decode.lm_beta,
-                nlm_params=nlm_params)
+                char_topk=cfg.decode.char_topk,
+                prune_logp=cfg.decode.prune_logp, nlm_params=nlm_params)
         return hyps, lens
 
     def decode(params, batch):
