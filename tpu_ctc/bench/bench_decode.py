@@ -52,8 +52,10 @@ def main():
                         "in-repo on random sequences; timing-faithful)")
     p.add_argument("--sweep-beams", default=None, metavar="K1,K2,...",
                    help="bench the fused kernel at each beam width and "
-                        "print a sweep table (e.g. 64,100,128 — the "
-                        "reference's canonical widths, SURVEY C9)")
+                        "print a sweep table (e.g. 64,100,128,200,256 — "
+                        "K>128 runs the 2-bank wide kernel; the "
+                        "reference's canonical widths were 100-200, "
+                        "SURVEY C9)")
     p.add_argument("--preset4", action="store_true",
                    help="shortcut: the shipped preset-4 decode shape "
                         "(B=64, T=1600, K=128, trigram char LM)")
