@@ -327,7 +327,7 @@ class TestSupported:
         # char_topk runs in-kernel since r5 (VERDICT r4 #7)
         assert beam_pallas.supported(64, 32, 0, char_topk=8)
 
-    def test_neural_lm_stays_narrow(self):
+    def test_neural_lm_supported_at_wide_beams(self):
         import jax
         from tpu_ctc.decode import neural_lm
         p = neural_lm.init_params(
@@ -335,7 +335,9 @@ class TestSupported:
             neural_lm.CharRNNLMConfig(vocab_size=29, embed_dim=16,
                                       hidden_dim=32))
         assert beam_pallas.supported(128, 29, 0, nlm_params=p)
-        assert not beam_pallas.supported(200, 29, 0, nlm_params=p)
+        # the wide kernel hosts the GRU too (bank-major state scratch)
+        assert beam_pallas.supported(200, 29, 0, nlm_params=p)
+        assert not beam_pallas.supported(300, 29, 0, nlm_params=p)
 
     def test_unsupported_raises(self, rng):
         lp, lens = _random_batch(rng, 1, 4, 4)
@@ -406,6 +408,48 @@ class TestWideBeam:
         hyps, hlens, scores = beam_pallas.beam_search_pallas(
             lp, lens, beam_width=256, max_len=8)
         _assert_host_parity(lp, lens, hyps, hlens, scores, 256)
+
+    def _check_neural(self, lp, lens, k, max_len=16, **kw):
+        """Neural parity: hypotheses exact, scores to float tolerance
+        (same contract as the narrow kernel's TestNeuralLM)."""
+        hp, hl, sp = beam_pallas.beam_search_pallas(
+            lp, lens, beam_width=k, max_len=max_len, **kw)
+        hx, xl, sx = prefix_beam_search(lp, lens, beam_width=k,
+                                        max_len=max_len, **kw)
+        np.testing.assert_array_equal(np.asarray(hl), np.asarray(xl))
+        np.testing.assert_array_equal(np.asarray(hp), np.asarray(hx))
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(sx),
+                                   atol=1e-4)
+
+    def test_gru_lm_wide(self, rng):
+        """The NAACL'15 neural decode at its canonical widths: the GRU
+        state rides the wide kernel's bank-major [G, NB*H, KP] scratch."""
+        import jax
+        from tpu_ctc.decode import neural_lm
+        a = 8
+        params = neural_lm.init_params(
+            jax.random.PRNGKey(2),
+            neural_lm.CharRNNLMConfig(vocab_size=a, embed_dim=8,
+                                      hidden_dim=16))
+        lp, lens = _random_batch(rng, 2, 10, a)
+        self._check_neural(lp, lens, 160, nlm_params=params,
+                           lm_alpha=0.6, lm_beta=0.3)
+
+    def test_gru_plus_ngram_wide_unaligned_dims(self, rng):
+        """GRU (unaligned H=13/E=10, zero-padded) + 2-gram at K=256."""
+        import jax
+        from tpu_ctc.decode import neural_lm
+        a = 8
+        params = neural_lm.init_params(
+            jax.random.PRNGKey(3),
+            neural_lm.CharRNNLMConfig(vocab_size=a, embed_dim=10,
+                                      hidden_dim=13))
+        seqs = [list(rng.randint(1, a, size=6)) for _ in range(30)]
+        lm = train_ngram_lm(seqs, vocab_size=a, order=2)
+        lp, lens = _random_batch(rng, 2, 10, a)
+        self._check_neural(lp, lens, 256, nlm_params=params,
+                           lm_table=lm.tables_device(), lm_order=2,
+                           lm_alpha=0.5, lm_beta=0.2)
 
 
 class TestFallbackWarning:

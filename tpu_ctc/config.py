@@ -157,10 +157,10 @@ class DecodeConfig:
     neural_lm_steps: int = 300     # LM training steps (adam, in-repo)
     # Route through the fused Pallas beam-search kernel
     # (tpu_ctc.ops.beam_pallas) whenever its supported() gate holds
-    # (K<=256 — K>128 on the 2-bank wide kernel, n-gram only —
-    # vocab<=64, n-gram order<=3; GRU dims are zero-padded to tile
-    # alignment; char_topk/prune_logp run in-kernel); False forces the
-    # XLA scan decoder.
+    # (K<=256 — K>128 on the 2-bank wide kernel — vocab<=64, n-gram
+    # order<=3; GRU dims are zero-padded to tile alignment;
+    # char_topk/prune_logp run in-kernel); False forces the XLA scan
+    # decoder.
     use_fused_kernel: bool = True
 
 

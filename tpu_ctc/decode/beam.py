@@ -398,9 +398,9 @@ def make_beam_decoder(cfg, lm: Optional[NGramCharLM] = None,
     program per 16-group block instead of T compiled frames (~9x on v5e
     at K=64; ~8x with a GRU char LM, whose per-beam state lives in the
     kernel; char_topk/prune_logp run in-kernel; K in (128, 256] runs the
-    2-bank wide kernel).  Falls back to the XLA scan decoder otherwise
-    (K>256, vocab>64, LM order>3, neural LM at K>128, GRU state over
-    the VMEM budget) — LOUDLY: the XLA neural search is ~8x slower with
+    2-bank wide kernel, GRU LMs included).  Falls back to the XLA scan
+    decoder otherwise (K>256, vocab>64, LM order>3, GRU state over the
+    VMEM budget) — LOUDLY: the XLA neural search is ~8x slower with
     multi-minute compiles, so a genuine fallback logs a warning.  Note
     the fused neural path matches XLA hypotheses but scores carry
     ~1e-3-level transcendental/matmul-order drift over hundreds of

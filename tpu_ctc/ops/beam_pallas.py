@@ -50,8 +50,8 @@ Scope: n-gram LM order <= 3, optional fused GRU neural char LM (dims
 zero-padded to sublane multiples; padded state slots provably stay 0),
 beam_width <= 256 — K <= 128 on this lane-packed narrow kernel, K in
 (128, 256] on the 2-bank wide variant (:func:`_beam_kernel_wide`,
-covering the reference's canonical 100-200 widths; neural LMs stay
-<= 128) — any vocab <= 64 (the wrapper pads the vocab axis to a
+covering the reference's canonical 100-200 widths, GRU LMs included) —
+any vocab <= 64 (the wrapper pads the vocab axis to a
 sublane multiple — Mosaic cannot compile unaligned [A, lane] layouts,
 which is why the default A=29 alphabet failed on hardware in round 3),
 exact search plus both reference pruning knobs: ``prune_logp`` acoustic
@@ -177,9 +177,8 @@ def supported(beam_width: int, vocab: int, lm_order: int,
         if _round8(e) > 128 or _round8(h) > 256:
             return False
     # K <= 128 runs the lane-packed narrow kernel; K in (128, 256] the
-    # 2-bank wide kernel (n-gram LMs only — see _beam_kernel_wide).
-    return (beam_width <= (2 * _LANE if nlm_params is None else _LANE)
-            and vocab <= 64 and lm_order <= 3)
+    # 2-bank wide kernel (n-gram AND fused GRU LMs).
+    return beam_width <= 2 * _LANE and vocab <= 64 and lm_order <= 3
 
 
 def pack_factor(beam_width: int) -> int:
@@ -694,12 +693,14 @@ def _beam_kernel(lp_ref, len_ref, thr_ref, lm_ref, embt_ref, wx_ref, wh_ref,
             jnp.zeros((g, 5, _LANE), f32)], axis=1)
 
 
-def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, bp_ref, fin_ref,
-                      pb_s, pnb_s, plen_s, last_s, last2_s, h1_s, h2_s, *,
+def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, embt_ref, wx_ref,
+                      wh_ref, wo_ref, nb_ref, bp_ref, fin_ref,
+                      pb_s, pnb_s, plen_s, last_s, last2_s, h1_s, h2_s,
+                      hlm_s, *,
                       g: int, k: int, a: int, nb: int, blank: int,
                       max_len: int, lm_order: int, lm_alpha: float,
                       lm_beta: float, prune_logp: Optional[float],
-                      topk: bool):
+                      topk: bool, nlm: bool, e_dim: int, h_dim: int):
     """Wide-beam variant: K in (128, 256] via NB=ceil(K/128) lane BANKS.
 
     One utterance per lane-group (pack=1 — at K>128 nothing else fits),
@@ -713,8 +714,11 @@ def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, bp_ref, fin_ref,
     Cross-bank interactions — mate matching, mate payload folds, parent
     payload picks — run as static NB x NB blocks of the narrow kernel's
     [KP, KP] matmuls (beam search's intrinsic O(K^2) merge cost).
-    Neural LMs stay on the narrow kernel (K <= 128): per-beam GRU state
-    at K=256 would double the [G, H, KP] scratch against the same VMEM.
+    The fused GRU neural char LM runs here too: per-beam state lives in
+    a bank-major [G, NB*H, KP] scratch (row bank*H + j), LM rows and the
+    parent-state rebuild run per bank with the same NB x NB one-hot
+    blocks as the payload picks — the NAACL'15 neural decode at its
+    canonical 100-200 beam widths, fully in-kernel.
     bp packs (parent_slot | (char+1) << 8) with parent_slot <= 255, so
     :func:`_reconstruct` works unchanged on the [B, T, NB*KP] unpacking.
     """
@@ -760,6 +764,11 @@ def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, bp_ref, fin_ref,
             jnp.where(first, _H1_EMPTY, slot_g3 + 1), (g, nb, kp))
         h2_s[:, :, :] = jnp.broadcast_to(
             jnp.where(first, _H2_EMPTY, slot_g3 + 1), (g, nb, kp))
+        if nlm:
+            # BOS-stepped init state for every beam of every bank
+            h_bos = nb_ref[3 * h_dim + a:3 * h_dim + a + h_dim, 0:1]
+            bc = jnp.broadcast_to(h_bos[None], (g, h_dim, kp))
+            hlm_s[:, :, :] = jnp.concatenate([bc] * nb, axis=1)
 
     li = jax.lax.broadcasted_iota(i32, (kp, kp), 0)
     lj = jax.lax.broadcasted_iota(i32, (kp, kp), 1)
@@ -832,6 +841,29 @@ def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, bp_ref, fin_ref,
                     row_b = bdot(lm_b, ctx_oh, ((2,), (1,)),
                                  precision=_HIGHEST)
                 lm_rows_b.append(lm_alpha * row_b + lm_beta)      # [G,A,KP]
+        hlm_banks = None
+        if nlm:
+            # neural rows per STATE bank: log_softmax(Wo h + bo), blank
+            # and padded-vocab slots masked as in the narrow kernel
+            hlm_banks = [hlm_s[:, mb * h_dim:(mb + 1) * h_dim, :]
+                         for mb in range(nb)]                     # [G,H,KP]
+            wo_b = jnp.broadcast_to(wo_ref[:, :][None], (g, a, h_dim))
+            bo_col = nb_ref[3 * h_dim:3 * h_dim + a, 0:1]         # [A,1]
+            blank_mask = jnp.where(
+                jax.lax.broadcasted_iota(i32, (1, a, 1), 1) == blank,
+                -1e30, 0.0)
+            nrow_b = []
+            for mb in range(nb):
+                lgt = bdot(wo_b, hlm_banks[mb], ((2,), (1,)),
+                           precision=_HIGHEST)                    # [G,A,KP]
+                lgt = lgt + bo_col[None] + blank_mask
+                shifted = lgt - jnp.max(lgt, axis=1, keepdims=True)
+                lsm = shifted - jnp.log(
+                    jnp.sum(jnp.exp(shifted), axis=1, keepdims=True))
+                nrow_b.append(lm_alpha * lsm + lm_beta)
+            lm_rows_b = (nrow_b if lm_rows_b is None else
+                         [x + y for x, y in zip(lm_rows_b, nrow_b)])
+        if lm_rows_b is not None:
             lm_row = jnp.stack(lm_rows_b, axis=2).reshape(gr, kp)
 
         # ---- mate detection: NB x NB bank blocks ----------------------
@@ -993,6 +1025,7 @@ def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, bp_ref, fin_ref,
         sf3 = sf.reshape(g, r, kp)
         nb_pb, nb_pnb, nb_plen = [], [], []
         nb_last, nb_last2, nb_h1, nb_h2 = [], [], [], []
+        nb_hlm = []
         for sb in range(nb):
             gslot = slot_f + sb * kp                              # [1,KP] f32
             gslot_i = jnp.broadcast_to(lane2 + sb * kp, (g, kp))
@@ -1015,11 +1048,13 @@ def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, bp_ref, fin_ref,
             cand_val = jnp.sum(oh3 * cand_g, axis=2)              # [G,KP]
             pick_hi = None
             pick_lo = None
+            oh3_obs = []
             for ob in range(nb):
                 is_ob = jnp.sum(
                     (c_sel * (brow == ob).astype(f32)).reshape(g, r, kp),
                     axis=1)                                       # [G,KPs]
                 oh3_ob = oh3 * is_ob[:, :, None]
+                oh3_obs.append(oh3_ob)
                 hi_stack = jnp.concatenate(
                     [stay_pb[:, ob, :][:, None, :], stay_pnb[:, ob, :][:, None, :],
                      plen[:, ob, :][:, None, :]], axis=1)               # [G,3,KPo]
@@ -1072,6 +1107,43 @@ def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, bp_ref, fin_ref,
             nb_h1.append(jnp.where(active_l, n_h1, h1[:, sb, :]))
             nb_h2.append(jnp.where(active_l, n_h2, h2[:, sb, :]))
 
+            if nlm:
+                # GRU state rebuild across banks + advance on the
+                # extension char (same math as the narrow kernel's
+                # transposed-layout update)
+                h_par = None
+                for ob in range(nb):
+                    hp_ = bdot(hlm_banks[ob], oh3_obs[ob], ((2,), (2,)),
+                               precision=_HIGHEST)                # [G,H,KPs]
+                    h_par = hp_ if h_par is None else h_par + hp_
+                aoh = (jax.lax.broadcasted_iota(i32, (1, a, 1), 1)
+                       == ec_i[:, None, :]).astype(f32)           # [G,A,KP]
+                embt_b = jnp.broadcast_to(embt_ref[:, :][None],
+                                          (g, e_dim, a))
+                x_t = bdot(embt_b, aoh, ((2,), (1,)),
+                           precision=_HIGHEST)                    # [G,E,KP]
+                wx_b = jnp.broadcast_to(wx_ref[:, :][None],
+                                        (g, 3 * h_dim, e_dim))
+                xg = bdot(wx_b, x_t, ((2,), (1,)),
+                          precision=_HIGHEST)                     # [G,3H,KP]
+                wh_zr = jnp.broadcast_to(wh_ref[0:2 * h_dim, :][None],
+                                         (g, 2 * h_dim, h_dim))
+                hg = bdot(wh_zr, h_par, ((2,), (1,)),
+                          precision=_HIGHEST)                     # [G,2H,KP]
+                b_zr = nb_ref[0:2 * h_dim, 0:1]                   # [2H,1]
+                zr = jax.nn.sigmoid(xg[:, :2 * h_dim, :] + hg + b_zr[None])
+                z_g, r_g = zr[:, :h_dim, :], zr[:, h_dim:, :]
+                wh_c = jnp.broadcast_to(wh_ref[2 * h_dim:, :][None],
+                                        (g, h_dim, h_dim))
+                cg = bdot(wh_c, r_g * h_par, ((2,), (1,)),
+                          precision=_HIGHEST)                     # [G,H,KP]
+                b_h = nb_ref[2 * h_dim:3 * h_dim, 0:1]
+                cand_h = jnp.tanh(xg[:, 2 * h_dim:, :] + cg + b_h[None])
+                h_new = (1.0 - z_g) * h_par + z_g * cand_h
+                h_next = jnp.where(extend[:, None, :], h_new, h_par)
+                nb_hlm.append(jnp.where(active_l[:, None, :], h_next,
+                                        hlm_banks[sb]))
+
         def stack_b(lst):
             return jnp.concatenate([x[:, None, :] for x in lst], axis=1)
 
@@ -1082,6 +1154,8 @@ def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, bp_ref, fin_ref,
         last2_s[:, :, :] = stack_b(nb_last2)
         h1_s[:, :, :] = stack_b(nb_h1)
         h2_s[:, :, :] = stack_b(nb_h2)
+        if nlm:
+            hlm_s[:, :, :] = jnp.concatenate(nb_hlm, axis=1)
 
     def body(i, _):
         active_any = ti * tc + i < len_max
@@ -1305,7 +1379,8 @@ def beam_search_pallas(log_probs: jnp.ndarray,
             max_len=max_len,
             lm_order=lm_order if lm_table is not None else 0,
             lm_alpha=lm_alpha, lm_beta=lm_beta, prune_logp=prune_logp,
-            topk=use_topk)
+            topk=use_topk, nlm=nlm_params is not None, e_dim=e_dim,
+            h_dim=h_dim)
         bp, fin = pl.pallas_call(
             kernel,
             grid=(n_blk, nt),
@@ -1317,6 +1392,11 @@ def beam_search_pallas(log_probs: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 thr_spec,
                 shared((a, rows)),
+                shared((e_dim, a)),
+                shared((3 * h_dim, e_dim)),
+                shared((3 * h_dim, h_dim)),
+                shared((a, h_dim)),
+                shared((3 * h_dim + a + h_dim, 1)),
             ],
             out_specs=[
                 pl.BlockSpec((g_blk, tc, nb_banks, _LANE),
@@ -1335,11 +1415,12 @@ def beam_search_pallas(log_probs: jnp.ndarray,
             scratch_shapes=[pltpu.VMEM((g_blk, nb_banks, _LANE),
                                        jnp.float32) for _ in range(5)]
             + [pltpu.VMEM((g_blk, nb_banks, _LANE), jnp.int32)
-               for _ in range(2)],
+               for _ in range(2)]
+            + [pltpu.VMEM((g_blk, nb_banks * h_dim, _LANE), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=_interpret(),
-        )(lp_t, len_tile, thr_t, lm_in)
+        )(lp_t, len_tile, thr_t, lm_in, embt, wx_in, wh_in, wo_in, nb_in)
         # beam slot s = bank*128 + lane: row-major (bank, lane) reshape
         kq = nb_banks * _LANE
         bp = bp[:groups, :t_total].reshape(groups, t_total, kq)[:b]
