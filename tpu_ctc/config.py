@@ -158,9 +158,9 @@ class DecodeConfig:
     # Route through the fused Pallas beam-search kernel
     # (tpu_ctc.ops.beam_pallas) whenever its supported() gate holds
     # (K<=256 — K>128 on the 2-bank wide kernel — vocab<=64, n-gram
-    # order<=3; GRU dims are zero-padded to tile alignment;
-    # char_topk/prune_logp run in-kernel); False forces the XLA scan
-    # decoder.
+    # order<=3; GRU dims are zero-padded to tile alignment, capped at
+    # E<=128 / H<=256 by the VMEM state budget; char_topk/prune_logp
+    # run in-kernel); False forces the XLA scan decoder.
     use_fused_kernel: bool = True
 
 

@@ -1026,6 +1026,18 @@ def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, embt_ref, wx_ref,
         nb_pb, nb_pnb, nb_plen = [], [], []
         nb_last, nb_last2, nb_h1, nb_h2 = [], [], [], []
         nb_hlm = []
+        if nlm:
+            # loop-invariant GRU weight broadcasts, hoisted out of the
+            # per-slot-bank loop (mirrors the narrow kernel's layout)
+            embt_b = jnp.broadcast_to(embt_ref[:, :][None], (g, e_dim, a))
+            wx_b = jnp.broadcast_to(wx_ref[:, :][None],
+                                    (g, 3 * h_dim, e_dim))
+            wh_zr = jnp.broadcast_to(wh_ref[0:2 * h_dim, :][None],
+                                     (g, 2 * h_dim, h_dim))
+            wh_c = jnp.broadcast_to(wh_ref[2 * h_dim:, :][None],
+                                    (g, h_dim, h_dim))
+            b_zr = nb_ref[0:2 * h_dim, 0:1]                   # [2H,1]
+            b_h = nb_ref[2 * h_dim:3 * h_dim, 0:1]
         for sb in range(nb):
             gslot = slot_f + sb * kp                              # [1,KP] f32
             gslot_i = jnp.broadcast_to(lane2 + sb * kp, (g, kp))
@@ -1118,26 +1130,16 @@ def _beam_kernel_wide(lp_ref, len_ref, thr_ref, lm_ref, embt_ref, wx_ref,
                     h_par = hp_ if h_par is None else h_par + hp_
                 aoh = (jax.lax.broadcasted_iota(i32, (1, a, 1), 1)
                        == ec_i[:, None, :]).astype(f32)           # [G,A,KP]
-                embt_b = jnp.broadcast_to(embt_ref[:, :][None],
-                                          (g, e_dim, a))
                 x_t = bdot(embt_b, aoh, ((2,), (1,)),
                            precision=_HIGHEST)                    # [G,E,KP]
-                wx_b = jnp.broadcast_to(wx_ref[:, :][None],
-                                        (g, 3 * h_dim, e_dim))
                 xg = bdot(wx_b, x_t, ((2,), (1,)),
                           precision=_HIGHEST)                     # [G,3H,KP]
-                wh_zr = jnp.broadcast_to(wh_ref[0:2 * h_dim, :][None],
-                                         (g, 2 * h_dim, h_dim))
                 hg = bdot(wh_zr, h_par, ((2,), (1,)),
                           precision=_HIGHEST)                     # [G,2H,KP]
-                b_zr = nb_ref[0:2 * h_dim, 0:1]                   # [2H,1]
                 zr = jax.nn.sigmoid(xg[:, :2 * h_dim, :] + hg + b_zr[None])
                 z_g, r_g = zr[:, :h_dim, :], zr[:, h_dim:, :]
-                wh_c = jnp.broadcast_to(wh_ref[2 * h_dim:, :][None],
-                                        (g, h_dim, h_dim))
                 cg = bdot(wh_c, r_g * h_par, ((2,), (1,)),
                           precision=_HIGHEST)                     # [G,H,KP]
-                b_h = nb_ref[2 * h_dim:3 * h_dim, 0:1]
                 cand_h = jnp.tanh(xg[:, 2 * h_dim:, :] + cg + b_h[None])
                 h_new = (1.0 - z_g) * h_par + z_g * cand_h
                 h_next = jnp.where(extend[:, None, :], h_new, h_par)
