@@ -40,18 +40,29 @@ def main(batch=32, t_frames=400, vocab=29, beam=64, max_len=128):
     seqs = [rng.randint(1, vocab, 40).astype(np.int32) for _ in range(50)]
     lm = train_ngram_lm(seqs, vocab, order=3)
 
+    from tpu_ctc.decode import neural_lm
+    nlm = neural_lm.init_params(
+        jax.random.PRNGKey(5),
+        neural_lm.CharRNNLMConfig(vocab_size=vocab, embed_dim=64,
+                                  hidden_dim=128))
+
     failures = 0
-    # wide-kernel row decodes a SHORT slice (the XLA oracle at K=200 is
-    # ~0.45 s/frame-batch; 60 frames keep the smoke under a minute)
+    # wide-kernel rows decode a SHORT slice (the XLA oracle at K=200 is
+    # ~0.45 s/frame-batch; 40-60 frames keep the smoke under a minute);
+    # neural rows are hyp-exact with a score tolerance (matmul-order
+    # ulps — see the kernel docstring), n-gram rows bit-exact.
     lp_w, lens_w = lp[:8, :60], jnp.minimum(lens[:8], 60)
-    for label, kb, (xlp, xlens), kw in [
-        ("no-LM", beam, (lp, lens), {}),
-        ("3-gram LM", beam, (lp, lens),
+    lp_n, lens_n = lp[:4, :40], jnp.minimum(lens[:4], 40)
+    for label, kb, (xlp, xlens), tol, kw in [
+        ("no-LM", beam, (lp, lens), 0.0, {}),
+        ("3-gram LM", beam, (lp, lens), 0.0,
          dict(lm_table=lm.tables_device(), lm_order=3,
               lm_alpha=0.8, lm_beta=0.5)),
-        ("wide K=200 3-gram", 200, (lp_w, lens_w),
+        ("wide K=200 3-gram", 200, (lp_w, lens_w), 0.0,
          dict(lm_table=lm.tables_device(), lm_order=3,
               lm_alpha=0.8, lm_beta=0.5)),
+        ("wide K=200 GRU-LM", 200, (lp_n, lens_n), 1e-3,
+         dict(nlm_params=nlm, lm_alpha=0.7, lm_beta=0.3)),
     ]:
         t0 = time.time()
         hp, hl, sp = beam_search_pallas(xlp, xlens, beam_width=kb,
@@ -63,7 +74,7 @@ def main(batch=32, t_frames=400, vocab=29, beam=64, max_len=128):
         jax.block_until_ready(hx)
         score_diff = float(jnp.max(jnp.abs(sp - sx)))
         hyp_match = bool(jnp.all(hp == hx)) and bool(jnp.all(hl == xl))
-        ok = score_diff == 0.0 and hyp_match
+        ok = score_diff <= tol and hyp_match
         failures += 0 if ok else 1
         print(f"{label}: compile+run {t_pallas:.1f}s  "
               f"score_diff={score_diff:.2e}  hyp_match={hyp_match}  "
